@@ -1,0 +1,690 @@
+"""Pure-numpy codec kernels for the per-column compression engine.
+
+Lineage to the reference (/root/reference, catid/cuda_float_compress) — these
+kernels re-express its computational core in vectorized numpy, re-designed
+for Spark chunk execution rather than translated:
+
+* delta predictor          -> ``delta_encode``/``delta_decode``
+  (reference: per-thread ``q[i]-q[i-1]``, src/cuszplus_f32.cu:384-391)
+* zigzag                   -> ``zigzag_encode``/``zigzag_decode``
+  (reference: src/cuszplus_f32.cu:161-162)
+* bit-plane transpose      -> ``bitpack``/``bitunpack`` (plane-major layout)
+  (reference: interleave_words_* src/cuszplus_f32.cu:168-275 + cross-group
+  interleave :396-428 — the plane-major layout is the same "all equal
+  significance bits adjacent" idea, done once per chunk with numpy)
+* per-group max-bit-width  -> ``max_bits`` width selection
+  (reference: ENABLE_VARLEN_BITS, cpu_compress_test/cpu_compress_test.cpp:119-178)
+* Zstd level-1 backend     -> ``zstd_compress``/``zstd_decompress`` via pyarrow
+  (reference: src/cuszplus_f32.cu:551-554, ZSTD_COMPRESSION_LEVEL 1 :17)
+
+New codecs the reference lacks but the north rule requires: dictionary, RLE,
+FSST (public algorithm: Boncz, Neumann, Leis — "FSST: Fast Random Access
+String Compression", VLDB 2020), frame-of-reference bit-packing, byte-plane
+shuffle for floats.
+
+Every codec is exact/lossless: ``decode(encode(x)) == x`` bit-identically.
+An optional lossy float front-end (``quantize``) mirrors the reference's
+error-bounded mode and is kept out of the default paths.
+
+Chunk payloads are raw ``bytes``; codec name + params travel in the Spark
+manifest columns (the reference packed them into a 12-byte header,
+src/cuszplus_f32.cu:30-35 — manifest columns are the Spark-native analog).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+ZSTD_LEVEL = 1  # reference conclusion: level 1 fastest AND best on transposed data
+
+# ---------------------------------------------------------------------------
+# Backend: Zstd via pyarrow (bundled, no new dependency)
+# ---------------------------------------------------------------------------
+
+
+def zstd_compress(buf: bytes, level: int = ZSTD_LEVEL) -> bytes:
+    if len(buf) == 0:
+        return b""
+    return pa.compress(buf, codec="zstd", asbytes=True)
+
+
+def zstd_decompress(buf: bytes, decompressed_size: int) -> bytes:
+    if decompressed_size == 0:
+        return b""
+    return pa.decompress(
+        buf, decompressed_size=decompressed_size, codec="zstd", asbytes=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Section container: N length-prefixed byte sections in one payload
+# ---------------------------------------------------------------------------
+
+
+def pack_sections(*sections: bytes) -> bytes:
+    head = struct.pack("<I", len(sections)) + b"".join(
+        struct.pack("<Q", len(s)) for s in sections
+    )
+    return head + b"".join(sections)
+
+
+def unpack_sections(buf: bytes) -> list[bytes]:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    sizes = struct.unpack_from("<" + "Q" * n, buf, 4)
+    out = []
+    off = 4 + 8 * n
+    for sz in sizes:
+        out.append(buf[off : off + sz])
+        off += sz
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Integer primitives
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    """int64 -> uint64, sign to LSB so small magnitudes become small uints."""
+    v = v.astype(np.int64, copy=False)
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+
+
+def zigzag_decode(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint64, copy=False)
+    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(np.int64)
+
+
+def delta_encode(v: np.ndarray) -> tuple[int, np.ndarray]:
+    """Previous-value predictor over the whole chunk. Returns (first, deltas)."""
+    v = v.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return 0, v
+    # wraparound int64 arithmetic is fine: decode uses the same modular cumsum
+    d = np.empty_like(v)
+    d[0] = 0
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    return int(v[0]), d
+
+
+def delta_decode(first: int, d: np.ndarray) -> np.ndarray:
+    if len(d) == 0:
+        return d.astype(np.int64)
+    out = np.cumsum(d.astype(np.int64, copy=False), dtype=np.int64)
+    out += np.int64(first)
+    return out
+
+
+def max_bits(u: np.ndarray) -> int:
+    """Bit width needed for the largest value (0 for an all-zero chunk)."""
+    if len(u) == 0:
+        return 0
+    m = int(u.max())
+    return m.bit_length()
+
+
+def bitpack(u: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values at ``width`` bits, PLANE-MAJOR: all bit-k slices of
+    the chunk are stored contiguously (the reference's bit-plane transpose +
+    cross-group interleave collapsed into one numpy transpose). Plane-major
+    makes the Zstd backend see long runs, same rationale as
+    src/cuszplus_f32.cu:53-62."""
+    n = len(u)
+    if width == 0 or n == 0:
+        return b""
+    u = u.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)[:, None]
+    planes = ((u[None, :] >> shifts) & np.uint64(1)).astype(np.uint8)  # (width, n)
+    return np.packbits(planes, axis=1).tobytes()
+
+
+def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    row_bytes = (n + 7) // 8
+    planes = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(width, row_bytes),
+        axis=1,
+        count=n,
+    ).astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for k in range(width):
+        out |= planes[k] << np.uint64(k)
+    return out
+
+
+def rle_runs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length split: (run_values, run_lengths)."""
+    n = len(v)
+    if n == 0:
+        return v[:0], np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(v[1:] != v[:-1])
+    starts = np.concatenate(([0], change + 1))
+    lengths = np.diff(np.concatenate((starts, [n])))
+    return v[starts], lengths.astype(np.int64)
+
+
+def rle_expand(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    return np.repeat(values, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Integer codecs: encode(np.int64) -> (payload, params); decode inverse.
+# params are JSON-safe scalars; n (value count) is carried by the manifest.
+# ---------------------------------------------------------------------------
+
+
+def _enc_uints(u: np.ndarray) -> tuple[bytes, int]:
+    """FOR-style width select + plane-major bitpack + zstd. Returns
+    (payload, width)."""
+    w = max_bits(u)
+    packed = bitpack(u, w)
+    return zstd_compress(packed), w
+
+
+def _dec_uints(buf: bytes, width: int, n: int) -> np.ndarray:
+    row_bytes = (n + 7) // 8
+    packed = zstd_decompress(buf, width * row_bytes)
+    return bitunpack(packed, width, n)
+
+
+def int_raw_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    body = v.astype(np.int64, copy=False).tobytes()
+    return zstd_compress(body), {}
+
+
+def int_raw_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    body = zstd_decompress(payload, n * 8)
+    return np.frombuffer(body, dtype=np.int64).copy()
+
+
+def int_for_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Frame-of-reference: u = v - min, then width-packed bit planes.
+    Order-free sibling of the reference's delta predictor (SURVEY §2 op N)."""
+    v = v.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return b"", {"ref": 0, "width": 0}
+    ref = int(v.min())
+    u = (v - np.int64(ref)).view(np.uint64)
+    body, w = _enc_uints(u)
+    return body, {"ref": ref, "width": w}
+
+
+def int_for_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    u = _dec_uints(payload, int(params["width"]), n)
+    return (u.view(np.int64) + np.int64(params["ref"])).astype(np.int64)
+
+
+def int_delta_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """The literal reference integer pipeline, lossless: delta -> zigzag ->
+    bit-plane pack -> zstd (src/cuszplus_f32.cu:384-428 + :551-554)."""
+    first, d = delta_encode(v)
+    z = zigzag_encode(d)
+    body, w = _enc_uints(z)
+    return body, {"first": first, "width": w}
+
+
+def int_delta_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    z = _dec_uints(payload, int(params["width"]), n)
+    d = zigzag_decode(z)
+    return delta_decode(int(params["first"]), d)
+
+
+def int_rle_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    values, lengths = rle_runs(v.astype(np.int64, copy=False))
+    vals_payload, vals_params = int_delta_encode(values)
+    len_payload, len_params = int_for_encode(lengths)
+    payload = pack_sections(vals_payload, len_payload)
+    return payload, {
+        "n_runs": len(values),
+        "v_first": vals_params["first"],
+        "v_width": vals_params["width"],
+        "l_ref": len_params["ref"],
+        "l_width": len_params["width"],
+    }
+
+
+def int_rle_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    vals_buf, len_buf = unpack_sections(payload)
+    n_runs = int(params["n_runs"])
+    values = int_delta_decode(
+        vals_buf, {"first": params["v_first"], "width": params["v_width"]}, n_runs
+    )
+    lengths = int_for_decode(
+        len_buf, {"ref": params["l_ref"], "width": params["l_width"]}, n_runs
+    )
+    return rle_expand(values, lengths)
+
+
+def int_dict_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    v = v.astype(np.int64, copy=False)
+    uniq, codes = np.unique(v, return_inverse=True)
+    dict_payload, dict_params = int_delta_encode(uniq)  # sorted -> delta-friendly
+    codes_payload, codes_params = int_for_encode(codes.astype(np.int64))
+    payload = pack_sections(dict_payload, codes_payload)
+    return payload, {
+        "card": len(uniq),
+        "d_first": dict_params["first"],
+        "d_width": dict_params["width"],
+        "c_ref": codes_params["ref"],
+        "c_width": codes_params["width"],
+    }
+
+
+def int_dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    dict_buf, codes_buf = unpack_sections(payload)
+    card = int(params["card"])
+    uniq = int_delta_decode(
+        dict_buf, {"first": params["d_first"], "width": params["d_width"]}, card
+    )
+    codes = int_for_decode(
+        codes_buf, {"ref": params["c_ref"], "width": params["c_width"]}, n
+    )
+    return uniq[codes]
+
+
+INT_CODECS = {
+    "int_raw": (int_raw_encode, int_raw_decode),
+    "int_for": (int_for_encode, int_for_decode),
+    "int_delta": (int_delta_encode, int_delta_decode),
+    "int_rle": (int_rle_encode, int_rle_decode),
+    "int_dict": (int_dict_encode, int_dict_decode),
+}
+
+
+def encode_int_chunk(v: np.ndarray, codec: str) -> tuple[bytes, dict]:
+    return INT_CODECS[codec][0](v)
+
+
+def decode_int_chunk(payload: bytes, codec: str, params: dict, n: int) -> np.ndarray:
+    return INT_CODECS[codec][1](payload, params, n)
+
+
+# ---------------------------------------------------------------------------
+# FSST — Fast Static Symbol Table (public algorithm, VLDB 2020).
+# Simplified from-scratch implementation: up to 255 symbols of 1..8 bytes
+# built from a sample by iterative pair-merging; greedy longest-match encode;
+# code 255 = escape marker followed by one literal byte.
+# ---------------------------------------------------------------------------
+
+_FSST_ESCAPE = 255
+_FSST_MAX_SYMBOLS = 255
+_FSST_MAX_LEN = 8
+_FSST_GENERATIONS = 4
+_FSST_SAMPLE = 1 << 16
+
+
+def fsst_train(sample: bytes) -> list[bytes]:
+    """Build a symbol table from a byte sample by iterative concatenation of
+    the most valuable symbols (gain = (len-1) * freq), FSST-paper style."""
+    if not sample:
+        return []
+    sample = sample[:_FSST_SAMPLE]
+    # generation 0: most frequent single bytes
+    counts = np.bincount(np.frombuffer(sample, dtype=np.uint8), minlength=256)
+    symbols = [bytes([b]) for b in np.argsort(counts)[::-1][:64] if counts[b] > 0]
+    for _ in range(_FSST_GENERATIONS):
+        table = {s: i for i, s in enumerate(symbols)}
+        by_first = {}
+        for s in symbols:
+            by_first.setdefault(s[0], []).append(s)
+        for k in by_first:
+            by_first[k].sort(key=len, reverse=True)
+        # tokenize the sample greedily with the current table, counting
+        # symbol freq and adjacent-pair freq
+        freq: dict[bytes, int] = {}
+        pair_freq: dict[bytes, int] = {}
+        pos = 0
+        prev: bytes | None = None
+        ln = len(sample)
+        while pos < ln:
+            tok = None
+            cands = by_first.get(sample[pos])
+            if cands is not None:
+                for s in cands:
+                    if sample[pos : pos + len(s)] == s:
+                        tok = s
+                        break
+            if tok is None:
+                tok = sample[pos : pos + 1]
+            freq[tok] = freq.get(tok, 0) + 1
+            if prev is not None and len(prev) + len(tok) <= _FSST_MAX_LEN:
+                cat = prev + tok
+                pair_freq[cat] = pair_freq.get(cat, 0) + 1
+            prev = tok
+            pos += len(tok)
+        cands2 = {}
+        for s, f in freq.items():
+            cands2[s] = max(cands2.get(s, 0), (len(s) - 1) * f if len(s) > 1 else f)
+        for s, f in pair_freq.items():
+            cands2[s] = max(cands2.get(s, 0), (len(s) - 1) * f)
+        symbols = [
+            s
+            for s, _ in sorted(cands2.items(), key=lambda kv: kv[1], reverse=True)[
+                :_FSST_MAX_SYMBOLS
+            ]
+        ]
+        _ = table  # (table of the previous generation is superseded)
+    return symbols
+
+
+def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
+    by_first: dict[int, list[tuple[bytes, int]]] = {}
+    for i, s in enumerate(symbols):
+        by_first.setdefault(s[0], []).append((s, i))
+    for k in by_first:
+        by_first[k].sort(key=lambda si: len(si[0]), reverse=True)
+    out = bytearray()
+    pos = 0
+    ln = len(data)
+    while pos < ln:
+        cands = by_first.get(data[pos])
+        if cands is not None:
+            for s, code in cands:
+                if data[pos : pos + len(s)] == s:
+                    out.append(code)
+                    pos += len(s)
+                    break
+            else:
+                out.append(_FSST_ESCAPE)
+                out.append(data[pos])
+                pos += 1
+        else:
+            out.append(_FSST_ESCAPE)
+            out.append(data[pos])
+            pos += 1
+    return bytes(out)
+
+
+def fsst_decode_bytes(enc: bytes, symbols: list[bytes]) -> bytes:
+    # vectorized decode: split the code stream on escapes, then symbol-table
+    # take + concat
+    codes = np.frombuffer(enc, dtype=np.uint8)
+    out = []
+    i = 0
+    n = len(codes)
+    # positions of escape markers define literal bytes
+    enc_b = enc
+    while i < n:
+        c = codes[i]
+        if c == _FSST_ESCAPE:
+            out.append(enc_b[i + 1 : i + 2])
+            i += 2
+        else:
+            out.append(symbols[c])
+            i += 1
+    return b"".join(out)
+
+
+def fsst_serialize_table(symbols: list[bytes]) -> bytes:
+    return pack_sections(*symbols) if symbols else pack_sections()
+
+
+def fsst_deserialize_table(buf: bytes) -> list[bytes]:
+    return unpack_sections(buf)
+
+
+# ---------------------------------------------------------------------------
+# Byte-string codecs. A "bytes chunk" is a list[bytes | None]; layout is
+# lengths (int64, -1 for null) + concatenated data, each section separately
+# encoded. Lengths go through the integer delta codec; data through
+# zstd / fsst+zstd / dict / rle.
+# ---------------------------------------------------------------------------
+
+
+def _lengths_and_data(items: list) -> tuple[np.ndarray, bytes]:
+    lengths = np.fromiter(
+        ((-1 if it is None else len(it)) for it in items), dtype=np.int64, count=len(items)
+    )
+    data = b"".join(it for it in items if it is not None)
+    return lengths, data
+
+
+def _split_by_lengths(lengths: np.ndarray, data: bytes) -> list:
+    sizes = lengths[lengths >= 0]
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    out: list = [None] * len(lengths)
+    j = 0
+    for i in range(len(lengths)):
+        if lengths[i] >= 0:
+            out[i] = data[starts[j] : ends[j]]
+            j += 1
+    return out
+
+
+def bytes_zstd_encode(items: list) -> tuple[bytes, dict]:
+    lengths, data = _lengths_and_data(items)
+    len_payload, len_params = int_delta_encode(lengths)
+    payload = pack_sections(len_payload, zstd_compress(data))
+    return payload, {
+        "l_first": len_params["first"],
+        "l_width": len_params["width"],
+        "data_size": len(data),
+    }
+
+
+def bytes_zstd_decode(payload: bytes, params: dict, n: int) -> list:
+    len_buf, data_buf = unpack_sections(payload)
+    lengths = int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    data = zstd_decompress(data_buf, int(params["data_size"]))
+    return _split_by_lengths(lengths, data)
+
+
+def bytes_fsst_encode(items: list) -> tuple[bytes, dict]:
+    lengths, data = _lengths_and_data(items)
+    symbols = fsst_train(data)
+    enc = fsst_encode_bytes(data, symbols)
+    len_payload, len_params = int_delta_encode(lengths)
+    payload = pack_sections(
+        len_payload, fsst_serialize_table(symbols), zstd_compress(enc)
+    )
+    return payload, {
+        "l_first": len_params["first"],
+        "l_width": len_params["width"],
+        "enc_size": len(enc),
+        "data_size": len(data),
+    }
+
+
+def bytes_fsst_decode(payload: bytes, params: dict, n: int) -> list:
+    len_buf, table_buf, enc_buf = unpack_sections(payload)
+    lengths = int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    symbols = fsst_deserialize_table(table_buf)
+    enc = zstd_decompress(enc_buf, int(params["enc_size"]))
+    data = fsst_decode_bytes(enc, symbols)
+    return _split_by_lengths(lengths, data)
+
+
+def _factorize(items: list) -> tuple[np.ndarray, list]:
+    """codes (int64, -1 for null) + unique values in first-seen order."""
+    table: dict[bytes, int] = {}
+    codes = np.empty(len(items), dtype=np.int64)
+    uniq: list[bytes] = []
+    for i, it in enumerate(items):
+        if it is None:
+            codes[i] = -1
+            continue
+        c = table.get(it)
+        if c is None:
+            c = len(uniq)
+            table[it] = c
+            uniq.append(it)
+        codes[i] = c
+    return codes, uniq
+
+
+def bytes_dict_encode(items: list) -> tuple[bytes, dict]:
+    codes, uniq = _factorize(items)
+    dict_payload, dict_params = bytes_zstd_encode(uniq)
+    codes_payload, codes_params = int_for_encode(codes + 1)  # shift nulls to 0
+    payload = pack_sections(dict_payload, codes_payload)
+    return payload, {
+        "card": len(uniq),
+        "d_l_first": dict_params["l_first"],
+        "d_l_width": dict_params["l_width"],
+        "d_data_size": dict_params["data_size"],
+        "c_ref": codes_params["ref"],
+        "c_width": codes_params["width"],
+    }
+
+
+def bytes_dict_decode(payload: bytes, params: dict, n: int) -> list:
+    dict_buf, codes_buf = unpack_sections(payload)
+    card = int(params["card"])
+    uniq = bytes_zstd_decode(
+        dict_buf,
+        {
+            "l_first": params["d_l_first"],
+            "l_width": params["d_l_width"],
+            "data_size": params["d_data_size"],
+        },
+        card,
+    )
+    codes = int_for_decode(
+        codes_buf, {"ref": params["c_ref"], "width": params["c_width"]}, n
+    )
+    return [None if c == 0 else uniq[c - 1] for c in codes]
+
+
+def bytes_rle_encode(items: list) -> tuple[bytes, dict]:
+    """Dictionary + RLE on the code stream — the low-cardinality path for
+    columns like ``lang`` (sorted-within-partition input makes long runs)."""
+    codes, uniq = _factorize(items)
+    dict_payload, dict_params = bytes_zstd_encode(uniq)
+    codes_payload, codes_params = int_rle_encode(codes + 1)
+    payload = pack_sections(dict_payload, codes_payload)
+    return payload, {
+        "card": len(uniq),
+        "d_l_first": dict_params["l_first"],
+        "d_l_width": dict_params["l_width"],
+        "d_data_size": dict_params["data_size"],
+        "r": codes_params,
+    }
+
+
+def bytes_rle_decode(payload: bytes, params: dict, n: int) -> list:
+    dict_buf, codes_buf = unpack_sections(payload)
+    card = int(params["card"])
+    uniq = bytes_zstd_decode(
+        dict_buf,
+        {
+            "l_first": params["d_l_first"],
+            "l_width": params["d_l_width"],
+            "data_size": params["d_data_size"],
+        },
+        card,
+    )
+    codes = int_rle_decode(codes_buf, params["r"], n)
+    return [None if c == 0 else uniq[c - 1] for c in codes]
+
+
+def bytes_raw_encode(items: list) -> tuple[bytes, dict]:
+    lengths, data = _lengths_and_data(items)
+    len_payload, len_params = int_delta_encode(lengths)
+    payload = pack_sections(len_payload, data)
+    return payload, {"l_first": len_params["first"], "l_width": len_params["width"]}
+
+
+def bytes_raw_decode(payload: bytes, params: dict, n: int) -> list:
+    len_buf, data = unpack_sections(payload)
+    lengths = int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    return _split_by_lengths(lengths, data)
+
+
+BYTES_CODECS = {
+    "bytes_raw": (bytes_raw_encode, bytes_raw_decode),
+    "bytes_zstd": (bytes_zstd_encode, bytes_zstd_decode),
+    "bytes_fsst": (bytes_fsst_encode, bytes_fsst_decode),
+    "bytes_dict": (bytes_dict_encode, bytes_dict_decode),
+    "bytes_rle": (bytes_rle_encode, bytes_rle_decode),
+}
+
+
+def encode_bytes_chunk(items: list, codec: str) -> tuple[bytes, dict]:
+    return BYTES_CODECS[codec][0](items)
+
+
+def decode_bytes_chunk(payload: bytes, codec: str, params: dict, n: int) -> list:
+    return BYTES_CODECS[codec][1](payload, params, n)
+
+
+# ---------------------------------------------------------------------------
+# Float codecs (lossless by default). float32/float64 arrays.
+# ---------------------------------------------------------------------------
+
+
+def float_byteplane_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Byte-plane shuffle (transpose bytes so equal-significance bytes are
+    adjacent) + zstd — the byte-granularity analog of the reference's bit-plane
+    interleave (src/cuszplus_f32.cu:243-275 is its 8-bit variant)."""
+    itemsize = v.dtype.itemsize
+    b = v.tobytes()
+    mat = np.frombuffer(b, dtype=np.uint8).reshape(-1, itemsize)
+    shuffled = mat.T.copy().tobytes()
+    return zstd_compress(shuffled), {"itemsize": itemsize, "dtype": str(v.dtype)}
+
+
+def float_byteplane_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    itemsize = int(params["itemsize"])
+    raw = zstd_decompress(payload, n * itemsize)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, n)
+    return np.frombuffer(mat.T.copy().tobytes(), dtype=np.dtype(params["dtype"])).copy()
+
+
+def float_raw_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    return zstd_compress(v.tobytes()), {
+        "itemsize": v.dtype.itemsize,
+        "dtype": str(v.dtype),
+    }
+
+
+def float_raw_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    raw = zstd_decompress(payload, n * int(params["itemsize"]))
+    return np.frombuffer(raw, dtype=np.dtype(params["dtype"])).copy()
+
+
+def float_quantize_encode(
+    v: np.ndarray, max_error: float = 1e-4
+) -> tuple[bytes, dict]:
+    """Lossy, error-bounded: the reference front-end. q = round_half_even(
+    x / eps) with eps = 2*max_error (src/cuda_float_compress.cpp:34,
+    src/cuszplus_f32.cu:384-388), then the exact integer pipeline.
+    Guarantees |decode - x| <= max_error when quantization doesn't overflow."""
+    eps = 2.0 * max_error
+    q = np.rint(v.astype(np.float64) / eps).astype(np.int64)
+    payload, params = int_delta_encode(q)
+    params = dict(params)
+    params["eps"] = eps
+    params["dtype"] = str(v.dtype)
+    return payload, params
+
+
+def float_quantize_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    q = int_delta_decode(payload, params, n)
+    return (q.astype(np.float64) * float(params["eps"])).astype(
+        np.dtype(params["dtype"])
+    )
+
+
+FLOAT_CODECS = {
+    "float_raw": (float_raw_encode, float_raw_decode),
+    "float_byteplane": (float_byteplane_encode, float_byteplane_decode),
+}
+
+
+def encode_float_chunk(v: np.ndarray, codec: str) -> tuple[bytes, dict]:
+    return FLOAT_CODECS[codec][0](v)
+
+
+def decode_float_chunk(payload: bytes, codec: str, params: dict, n: int) -> np.ndarray:
+    return FLOAT_CODECS[codec][1](payload, params, n)
