@@ -200,10 +200,17 @@ def test_selector_int_never_worse_than_candidates_full_trial():
     assert len(payload) == min(sizes.values())
 
 
-def test_selector_picks_rle_for_runs():
+def test_selector_bytes_min_size_on_low_card():
+    # low-cardinality input: selector must consider dict/rle and land on the
+    # min-size candidate (zstd legitimately wins at small chunk sizes)
     items = [b"en"] * 900 + [b"de"] * 100
-    codec = select.select_bytes_codec(items)
-    assert codec in ("bytes_rle", "bytes_dict")
+    codec, payload, _ = select.select_and_encode_bytes(items)
+    sizes = {
+        name: len(core.encode_bytes_chunk(items, name)[0])
+        for name in ("bytes_zstd", "bytes_dict", "bytes_rle")
+    }
+    assert len(payload) == min(sizes.values())
+    assert len(payload) < len(core.encode_bytes_chunk(items, "bytes_raw")[0])
 
 
 def test_selector_roundtrip_everything():
