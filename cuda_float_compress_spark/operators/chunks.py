@@ -1,0 +1,419 @@
+"""Typed column-chunk encode/decode: the bridge between Arrow record batches
+and the numpy codec kernels.
+
+Works directly on Arrow buffers where possible (string/binary columns encode
+from the offsets+data buffers with zero Python-object materialization — the
+Spark analog of the reference's register-resident hot loop,
+src/cuszplus_f32.cu:375). Null handling is engine-level: a zstd'd validity
+bitmap section wraps the non-null payload, mirroring how the reference keeps
+its format concerns (padding, header) out of the core transform.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from cuda_float_compress_spark.codecs import core, select
+
+# ---------------------------------------------------------------------------
+# ptype: the engine's logical type tag (stored per block row in the manifest)
+# ---------------------------------------------------------------------------
+
+
+def ptype_of(arrow_type: pa.DataType) -> str:
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return "string"
+    if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
+        return "binary"
+    if pa.types.is_timestamp(arrow_type):
+        return "timestamp_us"
+    if pa.types.is_int64(arrow_type):
+        return "int64"
+    if pa.types.is_int32(arrow_type):
+        return "int32"
+    if pa.types.is_float32(arrow_type):
+        return "float32"
+    if pa.types.is_float64(arrow_type):
+        return "float64"
+    if pa.types.is_date32(arrow_type):
+        return "date32"
+    if (pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)) and (
+        pa.types.is_float32(arrow_type.value_type)
+    ):
+        return "list_float32"
+    raise TypeError(f"unsupported column type: {arrow_type}")
+
+
+def arrow_type_for(ptype: str) -> pa.DataType:
+    return {
+        "string": pa.large_string(),
+        "binary": pa.large_binary(),
+        "timestamp_us": pa.timestamp("us", tz="UTC"),  # Spark TimestampType over Arrow
+        "int64": pa.int64(),
+        "int32": pa.int32(),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "date32": pa.date32(),
+        "list_float32": pa.list_(pa.float32()),
+    }[ptype]
+
+
+# ---------------------------------------------------------------------------
+# Arrow <-> (lengths, data) / numpy extraction
+# ---------------------------------------------------------------------------
+
+
+def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(lengths[-1=null], concatenated data) from a string/binary array,
+    via buffers (no per-item Python objects)."""
+    if not (
+        pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    ):
+        arr = arr.cast(
+            pa.large_string() if pa.types.is_string(arr.type) else pa.large_binary()
+        )
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
+    lengths = np.diff(offsets).astype(np.int64)
+    data_buf = bufs[2]
+    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
+    if arr.null_count:
+        valid = np.array(arr.is_valid(), dtype=bool)
+        # null slots have zero length in offsets; mark them -1
+        lengths = np.where(valid, lengths, -1)
+    return lengths, data
+
+
+def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str) -> pa.Array:
+    sizes = np.where(lengths >= 0, lengths, 0).astype(np.int64)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    null_mask = lengths < 0
+    validity = None
+    if null_mask.any():
+        validity = pa.py_buffer(np.packbits(~null_mask, bitorder="little").tobytes())
+    bin_arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        len(lengths),
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        null_count=int(null_mask.sum()),
+    )
+    if ptype == "string":
+        return bin_arr.cast(pa.large_string())
+    return bin_arr
+
+
+def _ld_to_items(lengths: np.ndarray, data: bytes) -> list:
+    sizes = np.where(lengths >= 0, lengths, 0)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    return [
+        None if lengths[i] < 0 else data[starts[i] : ends[i]]
+        for i in range(len(lengths))
+    ]
+
+
+def _numeric_values_and_validity(arr: pa.Array, np_dtype) -> tuple[np.ndarray, np.ndarray | None]:
+    if arr.null_count:
+        valid = np.array(arr.is_valid(), dtype=bool)
+        vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+        return vals, valid
+    return arr.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False), None
+
+
+def _wrap_nulls(payload: bytes, valid: np.ndarray | None) -> bytes:
+    if valid is None:
+        return payload
+    bitmap = np.packbits(valid, bitorder="little").tobytes()
+    return core.pack_sections(core.zstd_compress(bitmap), payload)
+
+
+def _unwrap_nulls(payload: bytes, n: int, n_nulls: int) -> tuple[bytes, np.ndarray | None]:
+    if n_nulls == 0:
+        return payload, None
+    bm_buf, inner = core.unpack_sections(payload)
+    bitmap = core.zstd_decompress(bm_buf, (n + 7) // 8)
+    valid = np.unpackbits(
+        np.frombuffer(bitmap, dtype=np.uint8), bitorder="little", count=n
+    ).astype(bool)
+    return inner, valid
+
+
+# ---------------------------------------------------------------------------
+# Column-chunk encode/decode
+# ---------------------------------------------------------------------------
+
+
+def raw_size_of(arr: pa.Array, ptype: str) -> int:
+    """Logical uncompressed size (value bytes, nulls free) for ratio metrics."""
+    if ptype in ("string", "binary"):
+        lengths, _ = _bytes_ld(arr)
+        return int(np.where(lengths > 0, lengths, 0).sum())
+    if ptype == "list_float32":
+        flat = arr.flatten() if hasattr(arr, "flatten") else arr.values
+        return 4 * len(flat) + 8 * len(arr)
+    width = {"timestamp_us": 8, "int64": 8, "int32": 4, "date32": 4,
+             "float32": 4, "float64": 8}[ptype]
+    return width * (len(arr) - arr.null_count)
+
+
+def encode_column_chunk(
+    arr: pa.Array, ptype: str, codec_override: str | None = None
+) -> tuple[str, bytes, str, int, int]:
+    """-> (codec, payload, params_json, n, n_nulls)"""
+    n = len(arr)
+    n_nulls = arr.null_count
+
+    if ptype in ("string", "binary"):
+        lengths, data = _bytes_ld(arr)
+        if codec_override:
+            codec = codec_override
+        else:
+            codec = _select_bytes_ld(lengths, data)
+        if codec in ("bytes_zstd", "bytes_fsst", "bytes_raw"):
+            payload, params = _LD_ENCODERS[codec](lengths, data)
+        else:
+            payload, params = core.BYTES_CODECS[codec][0](_ld_to_items(lengths, data))
+        return codec, payload, json.dumps(params), n, n_nulls
+
+    if ptype in ("timestamp_us", "int64", "int32", "date32"):
+        np_in = {"timestamp_us": "datetime64[us]", "int64": np.int64,
+                 "int32": np.int32, "date32": "datetime64[D]"}[ptype]
+        vals, valid = _numeric_values_and_validity(arr, np_in)
+        vals = vals.astype(np.int64) if vals.dtype != np.int64 else vals
+        if vals.dtype.kind == "M":
+            vals = vals.view(np.int64)
+        with np.errstate(over="ignore"):
+            if codec_override:
+                codec = codec_override
+                payload, params = core.INT_CODECS[codec][0](vals)
+            else:
+                codec, payload, params = select.select_and_encode_int(vals)
+        return codec, _wrap_nulls(payload, valid), json.dumps(params), n, n_nulls
+
+    if ptype in ("float32", "float64"):
+        np_dtype = np.float32 if ptype == "float32" else np.float64
+        vals, valid = _numeric_values_and_validity(arr, np_dtype)
+        if codec_override:
+            codec = codec_override
+            payload, params = core.FLOAT_CODECS[codec][0](vals)
+        else:
+            codec, payload, params = select.select_and_encode_float(vals)
+        return codec, _wrap_nulls(payload, valid), json.dumps(params), n, n_nulls
+
+    if ptype == "list_float32":
+        return _encode_list_float(arr, n, n_nulls)
+
+    raise TypeError(f"unsupported ptype: {ptype}")
+
+
+def decode_column_chunk(
+    payload: bytes, codec: str, params_json: str, n: int, n_nulls: int, ptype: str
+) -> pa.Array:
+    params = json.loads(params_json)
+
+    if ptype in ("string", "binary"):
+        if codec in ("bytes_zstd", "bytes_fsst", "bytes_raw"):
+            lengths, data = _LD_DECODERS[codec](payload, params, n)
+        else:
+            items = core.BYTES_CODECS[codec][1](payload, params, n)
+            lengths = np.fromiter(
+                ((-1 if it is None else len(it)) for it in items),
+                dtype=np.int64, count=n,
+            )
+            data = b"".join(it for it in items if it is not None)
+        return _ld_to_arrow(lengths, data, ptype)
+
+    if ptype in ("timestamp_us", "int64", "int32", "date32"):
+        inner, valid = _unwrap_nulls(payload, n, n_nulls)
+        vals = core.INT_CODECS[codec][1](inner, params, n - n_nulls)
+        return _numeric_to_arrow(vals, valid, ptype, n)
+
+    if ptype in ("float32", "float64"):
+        inner, valid = _unwrap_nulls(payload, n, n_nulls)
+        vals = core.FLOAT_CODECS[codec][1](inner, params, n - n_nulls)
+        return _numeric_to_arrow(vals, valid, ptype, n)
+
+    if ptype == "list_float32":
+        return _decode_list_float(payload, params, n, n_nulls)
+
+    raise TypeError(f"unsupported ptype: {ptype}")
+
+
+def _numeric_to_arrow(vals: np.ndarray, valid: np.ndarray | None, ptype: str, n: int) -> pa.Array:
+    at = arrow_type_for(ptype)
+    if ptype == "timestamp_us":
+        vals = vals.view("datetime64[us]")
+    elif ptype == "date32":
+        vals = vals.astype(np.int32).view("datetime64[D]")
+    elif ptype == "int32":
+        vals = vals.astype(np.int32)
+    if valid is None:
+        return pa.array(vals, type=at)
+    full = np.zeros(n, dtype=vals.dtype)
+    full[valid] = vals
+    return pa.array(full, type=at, mask=~valid)
+
+
+# --- (lengths, data) fast-path encoders sharing the list-codec wire format ---
+
+
+def _ld_zstd_encode(lengths, data):
+    len_payload, len_params = core.int_delta_encode(lengths)
+    payload = core.pack_sections(len_payload, core.zstd_compress(data))
+    return payload, {
+        "l_first": len_params["first"], "l_width": len_params["width"],
+        "data_size": len(data),
+    }
+
+
+def _ld_zstd_decode(payload, params, n):
+    len_buf, data_buf = core.unpack_sections(payload)
+    lengths = core.int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    return lengths, core.zstd_decompress(data_buf, int(params["data_size"]))
+
+
+def _ld_fsst_encode(lengths, data):
+    symbols = core.fsst_train(data)
+    enc = core.fsst_encode_bytes(data, symbols)
+    len_payload, len_params = core.int_delta_encode(lengths)
+    payload = core.pack_sections(
+        len_payload, core.fsst_serialize_table(symbols), core.zstd_compress(enc)
+    )
+    return payload, {
+        "l_first": len_params["first"], "l_width": len_params["width"],
+        "enc_size": len(enc), "data_size": len(data),
+    }
+
+
+def _ld_fsst_decode(payload, params, n):
+    len_buf, table_buf, enc_buf = core.unpack_sections(payload)
+    lengths = core.int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    symbols = core.fsst_deserialize_table(table_buf)
+    enc = core.zstd_decompress(enc_buf, int(params["enc_size"]))
+    return lengths, core.fsst_decode_bytes(enc, symbols)
+
+
+def _ld_raw_encode(lengths, data):
+    len_payload, len_params = core.int_delta_encode(lengths)
+    payload = core.pack_sections(len_payload, data)
+    return payload, {"l_first": len_params["first"], "l_width": len_params["width"]}
+
+
+def _ld_raw_decode(payload, params, n):
+    len_buf, data = core.unpack_sections(payload)
+    lengths = core.int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    return lengths, data
+
+
+_LD_ENCODERS = {
+    "bytes_zstd": _ld_zstd_encode,
+    "bytes_fsst": _ld_fsst_encode,
+    "bytes_raw": _ld_raw_encode,
+}
+_LD_DECODERS = {
+    "bytes_zstd": _ld_zstd_decode,
+    "bytes_fsst": _ld_fsst_decode,
+    "bytes_raw": _ld_raw_decode,
+}
+
+
+def _select_bytes_ld(lengths: np.ndarray, data: bytes) -> str:
+    """Min-size codec selection from a value sample, without materializing
+    the full chunk as Python objects."""
+    n = len(lengths)
+    if n == 0 or len(data) == 0:
+        return "bytes_zstd"
+    step = max(1, n // 256)
+    sizes = np.where(lengths >= 0, lengths, 0)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    idx = np.arange(0, n, step)
+    sample = [
+        None if lengths[i] < 0 else data[starts[i] : ends[i]] for i in idx
+    ]
+    non_null = [s for s in sample if s is not None]
+    card = len(set(non_null))
+    cands = ["bytes_zstd"]
+    if non_null and card <= max(1, len(non_null) // 2):
+        cands += ["bytes_dict", "bytes_rle"]
+    # FSST trial only when values are short-ish strings (its sweet spot);
+    # long documents go straight to zstd which dominates there.
+    elif non_null and (len(data) / max(1, len(non_null))) < 128:
+        cands.append("bytes_fsst")
+    if len(cands) == 1:
+        return cands[0]
+    best, best_size = None, None
+    for name in cands:
+        enc = core.BYTES_CODECS[name][0]
+        size = len(enc(sample)[0])
+        if best_size is None or size < best_size:
+            best, best_size = name, size
+    return best
+
+
+# --- list<float32> (embedding vectors): offsets + flat values ---------------
+
+
+def _encode_list_float(arr: pa.Array, n: int, n_nulls: int):
+    arr = arr.cast(pa.list_(pa.float32()))
+    if n_nulls:
+        valid = np.array(arr.is_valid(), dtype=bool)
+        arr_nn = arr.drop_null()
+    else:
+        valid = None
+        arr_nn = arr
+    offsets = np.array(arr_nn.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    flat = arr_nn.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    len_payload, len_params = core.int_for_encode(lengths)
+    val_codec, val_payload, val_params = select.select_and_encode_float(flat)
+    payload = core.pack_sections(len_payload, val_payload)
+    params = {
+        "l_ref": len_params["ref"], "l_width": len_params["width"],
+        "n_flat": int(len(flat)), "val_codec": val_codec, "val": val_params,
+    }
+    return (
+        f"list_{val_codec}", _wrap_nulls(payload, valid), json.dumps(params), n, n_nulls,
+    )
+
+
+def _decode_list_float(payload: bytes, params: dict, n: int, n_nulls: int) -> pa.Array:
+    inner, valid = _unwrap_nulls(payload, n, n_nulls)
+    len_buf, val_buf = core.unpack_sections(inner)
+    n_nn = n - n_nulls
+    lengths = core.int_for_decode(
+        len_buf, {"ref": params["l_ref"], "width": params["l_width"]}, n_nn
+    )
+    flat = core.FLOAT_CODECS[params["val_codec"]][1](
+        val_buf, params["val"], int(params["n_flat"])
+    )
+    offsets = np.zeros(n_nn + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:].view(np.int32)[:])
+    nn_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float32())
+    )
+    if valid is None:
+        return nn_arr
+    # re-insert nulls
+    out = []
+    j = 0
+    py = nn_arr.to_pylist()
+    for i in range(n):
+        if valid[i]:
+            out.append(py[j])
+            j += 1
+        else:
+            out.append(None)
+    return pa.array(out, type=pa.list_(pa.float32()))

@@ -1,0 +1,110 @@
+"""The decode job: blocks parquet -> the original DataFrame, bit-identical.
+
+Column-pruned by construction: requesting a subset of columns filters block
+rows BEFORE the shuffle and decodes only those payloads — the engine-level
+analog of parquet column pruning (a scan that decodes all columns for a
+2-column projection would be wrong at 100 TB).
+
+Reconstruction groups block rows by (part_id, chunk_id) with
+``applyInArrow`` — one group == one chunk == a few MB, so groups are
+uniformly sized regardless of host skew (the encode-side salting already
+flattened data skew into uniform chunks).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuda_float_compress_spark.operators import chunks as C
+
+_SPARK_TYPE = {
+    "string": "string",
+    "binary": "binary",
+    "timestamp_us": "timestamp",
+    "int64": "long",
+    "int32": "int",
+    "float32": "float",
+    "float64": "double",
+    "date32": "date",
+    "list_float32": "array<float>",
+}
+
+_STD_ARROW = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "timestamp_us": pa.timestamp("us", tz="UTC"),
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "date32": pa.date32(),
+    "list_float32": pa.list_(pa.float32()),
+}
+
+
+def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/blocks")
+
+
+def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
+    """[(col, ptype)] in original column order — metadata-only collect."""
+    rows = (
+        blocks.select("col", "col_idx", "ptype").distinct().orderBy("col_idx").collect()
+    )
+    return [(r["col"], r["ptype"]) for r in rows]
+
+
+def decode_table(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    keep_part_id: bool = False,
+) -> DataFrame:
+    blocks = blocks_of(spark, out_dir)
+    cols = table_columns(blocks)
+    if columns is not None:
+        want = set(columns)
+        cols = [(c, p) for c, p in cols if c in want]
+        blocks = blocks.filter(F.col("col").isin(list(want)))
+
+    out_fields = [f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols]
+    if keep_part_id:
+        out_fields = ["part_id int"] + out_fields
+    out_schema = ", ".join(out_fields)
+    arrow_fields = [pa.field(c, _STD_ARROW[p]) for c, p in cols]
+    if keep_part_id:
+        arrow_fields = [pa.field("part_id", pa.int32())] + arrow_fields
+    arrow_schema = pa.schema(arrow_fields)
+    col_ptypes = dict(cols)
+
+    def decode_chunk(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_id = key[0]
+        by_col = {}
+        n_rows = None
+        payloads = tbl.column("payload").to_pylist()
+        names = tbl.column("col").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        params = tbl.column("params").to_pylist()
+        ns = tbl.column("n").to_pylist()
+        n_nulls = tbl.column("n_nulls").to_pylist()
+        for i, name in enumerate(names):
+            ptype = col_ptypes[name]
+            arr = C.decode_column_chunk(
+                payloads[i], codecs[i], params[i], int(ns[i]), int(n_nulls[i]), ptype
+            )
+            if not arr.type.equals(_STD_ARROW[ptype]):
+                arr = arr.cast(_STD_ARROW[ptype])
+            by_col[name] = arr
+            n_rows = int(ns[i])
+        out = {}
+        if keep_part_id:
+            out["part_id"] = pa.array([int(part_id)] * n_rows, type=pa.int32())
+        for c, _ in cols:
+            out[c] = by_col[c]
+        return pa.table(out, schema=arrow_schema)
+
+    return (
+        blocks.groupBy("part_id", "chunk_id").applyInArrow(decode_chunk, out_schema)
+    )

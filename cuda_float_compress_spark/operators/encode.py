@@ -1,0 +1,254 @@
+"""The encode job: DataFrame -> compressed blocks + manifest + lineage.
+
+Dataflow (SURVEY.md §3.4):
+
+    read -> plan_partitions (explicit shuffle #1, hash+salt or range)
+         -> sortWithinPartitions(part_id, sort_keys)   (no extra shuffle)
+         -> mapInArrow(encode)                          (shuffle-free)
+         -> write blocks parquet (append)
+         -> groupBy(part_id) manifest/lineage aggregates (tiny shuffle #2)
+
+The Arrow UDF buffers record batches per part_id (parts are contiguous after
+the sort) and cuts chunks at ``chunk_rows`` rows or ``chunk_bytes`` payload
+bytes, whichever first — the Spark analog of the reference's fixed 32,768-
+float block (src/cuszplus_f32.cu:21-28), with byte-capping because web-page
+rows are variable-width.
+
+Scale notes (100 TB, 1000 executors): every stage is embarrassingly parallel
+after the single planned shuffle; block rows are ~chunk-sized (MBs), so the
+blocks write streams without driver involvement; manifest/lineage aggregates
+reduce to one row per (part, column) — broadcast-sized metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cuda_float_compress_spark.metrics import EngineMetrics
+from cuda_float_compress_spark.operators import chunks as C
+from cuda_float_compress_spark.plans import plan_partitions, skewed_hosts
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("col", T.StringType(), False),
+        T.StructField("col_idx", T.IntegerType(), False),
+        T.StructField("ptype", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("n_nulls", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+        T.StructField("params", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_BLOCKS_ARROW = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int64()),
+        ("col", pa.string()),
+        ("col_idx", pa.int32()),
+        ("ptype", pa.string()),
+        ("codec", pa.string()),
+        ("n", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("params", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
+                          overrides: dict, acc) -> pa.RecordBatch:
+    cols = {name: [] for name in _BLOCKS_ARROW.names}
+    data_cols = [c for c in tbl.column_names if c != "part_id"]
+    for idx, name in enumerate(data_cols):
+        arr = tbl.column(name).combine_chunks()
+        ptype = C.ptype_of(arr.type)
+        raw = C.raw_size_of(arr, ptype)
+        codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
+            arr, ptype, overrides.get(name)
+        )
+        cols["part_id"].append(part_id)
+        cols["chunk_id"].append(chunk_id)
+        cols["col"].append(name)
+        cols["col_idx"].append(idx)
+        cols["ptype"].append(ptype)
+        cols["codec"].append(codec)
+        cols["n"].append(n)
+        cols["n_nulls"].append(n_nulls)
+        cols["raw_bytes"].append(raw)
+        cols["enc_bytes"].append(len(payload))
+        cols["params"].append(params_json)
+        cols["payload"].append(payload)
+        if acc is not None:
+            acc["raw_bytes"].add(raw)
+            acc["enc_bytes"].add(len(payload))
+            acc["null_values"].add(n_nulls)
+    if acc is not None:
+        acc["rows"].add(tbl.num_rows)
+        acc["chunks"].add(1)
+    return pa.RecordBatch.from_pydict(cols, schema=_BLOCKS_ARROW)
+
+
+def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None):
+    """Build the mapInArrow function. Parts arrive contiguous (sorted); cut a
+    chunk when the buffer reaches chunk_rows rows or chunk_bytes bytes."""
+
+    def encode_partition(batches):
+        buf: list[pa.RecordBatch] = []
+        buf_rows = 0
+        buf_bytes = 0
+        cur_part: int | None = None
+        chunk_counter = 0
+
+        def flush():
+            nonlocal buf, buf_rows, buf_bytes, chunk_counter
+            if not buf:
+                return None
+            tbl = pa.Table.from_batches(buf)
+            rb = _encode_chunk_to_rows(tbl, cur_part, chunk_counter, overrides, acc)
+            chunk_counter += 1
+            buf, buf_rows, buf_bytes = [], 0, 0
+            return rb
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            part_col = batch.column(batch.schema.get_field_index("part_id"))
+            parts = part_col.to_numpy(zero_copy_only=False)
+            # split the batch at part boundaries (input sorted by part_id)
+            start = 0
+            for i in range(1, len(parts) + 1):
+                if i == len(parts) or parts[i] != parts[start]:
+                    piece = batch.slice(start, i - start)
+                    pid = int(parts[start])
+                    if cur_part is not None and pid != cur_part:
+                        rb = flush()
+                        if rb is not None:
+                            yield rb
+                        chunk_counter = 0
+                    cur_part = pid
+                    buf.append(piece)
+                    buf_rows += piece.num_rows
+                    buf_bytes += piece.nbytes
+                    if buf_rows >= chunk_rows or buf_bytes >= chunk_bytes:
+                        rb = flush()
+                        if rb is not None:
+                            yield rb
+                    start = i
+        rb = flush()
+        if rb is not None:
+            yield rb
+
+    return encode_partition
+
+
+def completed_parts(spark: SparkSession, out_dir: str) -> list[int]:
+    """part_ids with a 'done' lineage record (checkpoint-resume source)."""
+    try:
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+    except Exception:
+        return []
+    return [
+        r["part_id"]
+        for r in lineage.filter(F.col("status") == "done")
+        .select("part_id").distinct().collect()
+    ]
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    n_parts: int = 32,
+    mode: str = "hash",
+    chunk_rows: int = 32_768,
+    chunk_bytes: int = 1 << 24,
+    sort_keys: list[str] | None = None,
+    codec_overrides: dict | None = None,
+    resume: bool = True,
+    detect_skew: bool = True,
+    run_id: str | None = None,
+    metrics: EngineMetrics | None = None,
+) -> dict:
+    """Encode ``df`` into ``out_dir``/{blocks,manifest,lineage}. Returns a
+    metrics dict. Resumable: parts already marked done in lineage are skipped
+    (left-anti semantics via a broadcast-sized NOT IN — the part list is
+    metadata, not data)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    metrics = metrics or EngineMetrics(spark)
+    overrides = codec_overrides or {}
+    t_start = time.time()
+
+    with metrics.stage("plan"):
+        salts = (
+            skewed_hosts(df, url_col, n_parts) if (detect_skew and mode == "hash") else {}
+        )
+        planned = plan_partitions(df, url_col, n_parts, mode=mode, salts=salts)
+
+    done = completed_parts(spark, out_dir) if resume else []
+    if done:
+        planned = planned.filter(~F.col("part_id").isin(done))
+
+    sort_cols = ["part_id"] + (sort_keys or [url_col])
+    planned = planned.sortWithinPartitions(*sort_cols)
+
+    encoder = make_encoder(chunk_rows, chunk_bytes, overrides, metrics.acc)
+    blocks = planned.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
+
+    with metrics.stage("encode_write"):
+        blocks.write.mode("append").parquet(f"{out_dir}/blocks")
+
+    with metrics.stage("manifest"):
+        written = spark.read.parquet(f"{out_dir}/blocks")
+        if done:
+            written = written.filter(~F.col("part_id").isin(done))
+        manifest = (
+            written.groupBy("part_id", "col", "col_idx", "ptype")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum("n").alias("n_values"),
+                F.sum("n_nulls").alias("n_nulls"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.sort_array(F.collect_set("codec")).alias("codecs"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+        )
+        manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+
+        lineage = (
+            written.groupBy("part_id")
+            .agg(
+                F.countDistinct("chunk_id").alias("n_chunks"),
+                (F.sum("n") / F.countDistinct("col")).cast("long").alias("n_rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("status", F.lit("done"))
+            .withColumn("finished_at", F.lit(time.time()))
+            .withColumn("salts_json", F.lit(json.dumps(salts)))
+        )
+        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+
+    snap = metrics.snapshot()
+    snap["run_id"] = run_id
+    snap["skipped_parts"] = len(done)
+    snap["salted_hosts"] = len(salts)
+    snap["wall_sec"] = time.time() - t_start
+    return snap

@@ -1,0 +1,139 @@
+"""End-to-end engine tests: encode -> blocks/manifest/lineage -> decode ->
+bit-identical verification, plus checkpoint-resume and skew salting.
+
+This is the Spark port of the reference's flagship round trip
+(examples/model_compress_example.py: compress -> decompress -> per-layer
+equality report)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cuda_float_compress_spark.operators.decode import decode_table
+from cuda_float_compress_spark.operators.encode import encode_table
+from cuda_float_compress_spark.operators.verify import verify_roundtrip
+from cuda_float_compress_spark.plans import plan_partitions, skewed_hosts
+from cuda_float_compress_spark.table import generate_webpages_df
+
+N_ROWS = 3_000
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    df = generate_webpages_df(spark, N_ROWS, partitions=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_encode_decode_bit_identical(spark, webpages, scratch):
+    stats = encode_table(
+        spark, webpages, scratch, n_parts=8, chunk_rows=512, resume=False
+    )
+    assert stats["rows"] == N_ROWS
+    assert stats["enc_bytes"] < stats["raw_bytes"]  # it actually compresses
+
+    decoded = decode_table(spark, scratch)
+    assert decoded.count() == N_ROWS
+
+    report = verify_roundtrip(webpages, decoded, "url").collect()
+    assert len(report) == 5
+    for r in report:
+        assert r["ok"], f"column {r['column']}: {r['n_match']}/{r['n_rows']}"
+
+
+def test_decode_column_pruning(spark, webpages, scratch):
+    encode_table(spark, webpages, scratch, n_parts=4, chunk_rows=1024, resume=False)
+    only_text = decode_table(spark, scratch, columns=["url", "text"])
+    assert only_text.columns == ["url", "text"]
+    # byte-identity of text per url against the source
+    rep = verify_roundtrip(
+        webpages.select("url", "text"), only_text, "url"
+    ).collect()
+    assert all(r["ok"] for r in rep)
+
+
+def test_manifest_and_lineage_written(spark, webpages, scratch):
+    stats = encode_table(spark, webpages, scratch, n_parts=4, resume=False)
+    manifest = spark.read.parquet(f"{scratch}/manifest")
+    lineage = spark.read.parquet(f"{scratch}/lineage")
+    assert manifest.filter(F.col("col") == "text").count() > 0
+    # every column's manifest sums match the accumulator totals
+    total = manifest.agg(F.sum("enc_bytes").alias("e")).collect()[0]["e"]
+    assert total == stats["enc_bytes"]
+    done = lineage.filter(F.col("status") == "done").select("part_id").distinct()
+    assert done.count() == lineage.select("part_id").distinct().count()
+
+
+def test_checkpoint_resume_skips_done_parts(spark, webpages, scratch):
+    s1 = encode_table(spark, webpages, scratch, n_parts=8, resume=False)
+    assert s1["skipped_parts"] == 0
+    # second run with resume=True must skip everything and add no new blocks
+    n_blocks_before = spark.read.parquet(f"{scratch}/blocks").count()
+    s2 = encode_table(spark, webpages, scratch, n_parts=8, resume=True)
+    assert s2["rows"] == 0
+    assert s2["skipped_parts"] > 0
+    n_blocks_after = spark.read.parquet(f"{scratch}/blocks").count()
+    assert n_blocks_after == n_blocks_before
+    # decode after resume is still exactly the table
+    decoded = decode_table(spark, scratch)
+    rep = verify_roundtrip(webpages, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+
+
+def test_partial_resume_completes_table(spark, webpages, scratch):
+    # encode only half the parts by simulating a crashed run: run once over a
+    # filtered part subset, then resume over the full input
+    planned = plan_partitions(webpages, "url", 8)
+    half = planned.filter(F.col("part_id") < 4).drop("part_id")
+    encode_table(spark, half, scratch, n_parts=8, resume=False, detect_skew=False)
+    s2 = encode_table(spark, webpages, scratch, n_parts=8, resume=True,
+                      detect_skew=False)
+    assert 0 < s2["skipped_parts"] < 8
+    decoded = decode_table(spark, scratch)
+    assert decoded.count() == N_ROWS
+    rep = verify_roundtrip(webpages, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+
+
+def test_skew_salting_splits_hot_hosts(spark, webpages):
+    salts = skewed_hosts(webpages, "url", n_parts=8)
+    assert salts, "zipf generator should produce at least one hot host"
+    planned = plan_partitions(webpages, "url", 8, salts=salts)
+    sizes = planned.groupBy("part_id").count().collect()
+    counts = [r["count"] for r in sizes]
+    # with salting, no partition should hold the biggest host's full share
+    assert max(counts) < N_ROWS * 0.45
+    # part assignment is deterministic: re-planning yields identical mapping
+    a = planned.select("url", "part_id")
+    b = plan_partitions(webpages, "url", 8, salts=salts).select("url", "part_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_range_partition_mode(spark, webpages, scratch):
+    encode_table(
+        spark, webpages, scratch, n_parts=4, mode="range", resume=False
+    )
+    decoded = decode_table(spark, scratch)
+    rep = verify_roundtrip(webpages, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+
+
+def test_testdata_documents_roundtrip(spark, scratch):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("url", F.concat(F.lit("doc://d/"), F.col("doc_id")))
+    stats = encode_table(spark, docs, scratch, n_parts=4, resume=False)
+    decoded = decode_table(spark, scratch)
+    rep = verify_roundtrip(docs, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+    assert stats["enc_bytes"] < stats["raw_bytes"]
+
+
+def test_testdata_embeddings_roundtrip(spark, scratch):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("url", F.concat(F.lit("vec://v/"), F.col("vec_id")))
+    encode_table(spark, emb, scratch, n_parts=2, resume=False)
+    decoded = decode_table(spark, scratch)
+    rep = verify_roundtrip(emb, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
