@@ -29,7 +29,8 @@ def ptype_of(arrow_type: pa.DataType) -> str:
     if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
         return "binary"
     if pa.types.is_timestamp(arrow_type):
-        return "timestamp_us"
+        # Spark TimestampType arrives tz-aware (UTC); TimestampNTZType naive
+        return "timestamp_us" if arrow_type.tz is not None else "timestamp_ntz"
     if pa.types.is_int64(arrow_type):
         return "int64"
     if pa.types.is_int32(arrow_type):
@@ -52,6 +53,7 @@ def arrow_type_for(ptype: str) -> pa.DataType:
         "string": pa.large_string(),
         "binary": pa.large_binary(),
         "timestamp_us": pa.timestamp("us", tz="UTC"),  # Spark TimestampType over Arrow
+        "timestamp_ntz": pa.timestamp("us"),
         "int64": pa.int64(),
         "int32": pa.int32(),
         "float32": pa.float32(),
@@ -157,8 +159,8 @@ def raw_size_of(arr: pa.Array, ptype: str) -> int:
     if ptype == "list_float32":
         flat = arr.flatten() if hasattr(arr, "flatten") else arr.values
         return 4 * len(flat) + 8 * len(arr)
-    width = {"timestamp_us": 8, "int64": 8, "int32": 4, "date32": 4,
-             "float32": 4, "float64": 8}[ptype]
+    width = {"timestamp_us": 8, "timestamp_ntz": 8, "int64": 8, "int32": 4,
+             "date32": 4, "float32": 4, "float64": 8}[ptype]
     return width * (len(arr) - arr.null_count)
 
 
@@ -181,9 +183,9 @@ def encode_column_chunk(
             payload, params = core.BYTES_CODECS[codec][0](_ld_to_items(lengths, data))
         return codec, payload, json.dumps(params), n, n_nulls
 
-    if ptype in ("timestamp_us", "int64", "int32", "date32"):
-        np_in = {"timestamp_us": "datetime64[us]", "int64": np.int64,
-                 "int32": np.int32, "date32": "datetime64[D]"}[ptype]
+    if ptype in ("timestamp_us", "timestamp_ntz", "int64", "int32", "date32"):
+        np_in = {"timestamp_us": "datetime64[us]", "timestamp_ntz": "datetime64[us]",
+                 "int64": np.int64, "int32": np.int32, "date32": "datetime64[D]"}[ptype]
         vals, valid = _numeric_values_and_validity(arr, np_in)
         vals = vals.astype(np.int64) if vals.dtype != np.int64 else vals
         if vals.dtype.kind == "M":
@@ -229,7 +231,7 @@ def decode_column_chunk(
             data = b"".join(it for it in items if it is not None)
         return _ld_to_arrow(lengths, data, ptype)
 
-    if ptype in ("timestamp_us", "int64", "int32", "date32"):
+    if ptype in ("timestamp_us", "timestamp_ntz", "int64", "int32", "date32"):
         inner, valid = _unwrap_nulls(payload, n, n_nulls)
         vals = core.INT_CODECS[codec][1](inner, params, n - n_nulls)
         return _numeric_to_arrow(vals, valid, ptype, n)
@@ -247,7 +249,7 @@ def decode_column_chunk(
 
 def _numeric_to_arrow(vals: np.ndarray, valid: np.ndarray | None, ptype: str, n: int) -> pa.Array:
     at = arrow_type_for(ptype)
-    if ptype == "timestamp_us":
+    if ptype in ("timestamp_us", "timestamp_ntz"):
         vals = vals.view("datetime64[us]")
     elif ptype == "date32":
         vals = vals.astype(np.int32).view("datetime64[D]")

@@ -23,6 +23,7 @@ _SPARK_TYPE = {
     "string": "string",
     "binary": "binary",
     "timestamp_us": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "int64": "long",
     "int32": "int",
     "float32": "float",
@@ -35,6 +36,7 @@ _STD_ARROW = {
     "string": pa.string(),
     "binary": pa.binary(),
     "timestamp_us": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
     "int64": pa.int64(),
     "int32": pa.int32(),
     "float32": pa.float32(),

@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen'd); no Python UDFs. Each operator is a pure
+DataFrame -> DataFrame transform so Catalyst can push filters/pruning through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "est", "avec"],
+    "es": ["el", "los", "es", "para", "con"],
+    "ru": ["и", "не", "на", "что", "это"],
+    "pt": ["o", "que", "do", "da", "em"],
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count_col(F.col(text_col)))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Length / punctuation / uppercase / digit ratios + mean word length —
+    the standard cheap quality signals (C4/Gopher-style heuristics, public)."""
+    n_chars = F.length(text)
+    safe = F.greatest(n_chars, F.lit(1))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    n_tok = token_count_col(text)
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "punct_ratio": F.round(n_punct.cast("double") / safe, 6),
+        "digit_ratio": F.round(n_digit.cast("double") / safe, 6),
+        "upper_ratio": F.round(n_upper.cast("double") / safe, 6),
+        "mean_word_len": F.round(mean_word_len, 6),
+    }
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_score_cols(F.col(text_col))
+    for name, c in cols.items():
+        df = df.withColumn(name, c)
+    # composite score in [0,1]: long-enough, low punct/digit noise
+    return df.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+            * (1 - F.least(F.col("punct_ratio") * 2, F.lit(1.0)))
+            * (1 - F.least(F.col("digit_ratio") * 2, F.lit(1.0))),
+            6,
+        ),
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-marker language ID: count per-language marker words, argmax.
+    Pure JVM expressions — one regexp_count per language."""
+    lowered = F.lower(text)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores.append((lang, F.regexp_count(lowered, F.lit(pat))))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_col(F.col(text_col)))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized text.
+    md5 (not xxhash64) so the DuckDB oracle computes the identical value."""
+    return F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+
+
+def shingles_col(text: Column, k: int = 5) -> Column:
+    """Character k-shingles as an array<string> (JVM-side sequence+transform)."""
+    n = F.length(text)
+    return F.when(n < k, F.array(text)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: text.substr(i, F.lit(k)))
+    )

@@ -1,0 +1,88 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.3: streaming entirely absent), so
+this module is the forward-looking ingestion path for a continuously-crawled
+table: windowed aggregates with watermarks over an events stream, plus a
+batch sessionization (window lag + gap cumsum) that matches the streaming
+`session_window` semantics for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_counts",
+) -> DataFrame:
+    """Windowed per-type counts over a parquet-backed stream; memory sink,
+    complete mode (finite smoke input -> all windows present), drained
+    synchronously with processAllAvailable()."""
+    batch_df = spark.read.parquet(source_dir)
+    # the streaming file source wants a directory; a single-file input is
+    # handled with a glob filter on its parent
+    if source_dir.endswith(".parquet"):
+        parent, fname = source_dir.rsplit("/", 1)
+        reader = (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", fname)
+            .format("parquet")
+        )
+        stream = reader.load(parent)
+    else:
+        stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+    # parquet timestamps without tz arrive as TIMESTAMP_NTZ; watermarks need
+    # session-tz TIMESTAMP
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT win.start AS win_start, event_type, n, sum_value "
+        f"FROM {query_name}"
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization: session = consecutive events per user with
+    gaps < gap_minutes (lag + cumsum-on-gap — the SQL-expressible twin of
+    streaming session_window)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_new = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = with_new.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

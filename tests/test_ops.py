@@ -1,0 +1,216 @@
+"""Tests for the training-data-pipeline operators: dedup, similarity, text
+analysis, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cuda_float_compress_spark.operators import dedup, multimodal, similarity, text
+from cuda_float_compress_spark.streaming import run_windowed_counts, sessionize_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = text.with_token_count(docs).select("doc_id", "text", "n_tokens").take(50)
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split()), r["text"][:50]
+
+
+def test_quality_score_bounds(spark, docs):
+    q = text.with_quality_score(docs)
+    bad = q.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_lang_id_runs_and_is_plausible(spark, docs):
+    out = text.with_lang_id(docs).groupBy("lang_pred").count().collect()
+    assert len(out) >= 1  # heuristic produces some labels
+
+
+def test_fingerprint_identical_for_identical_text(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    fp = text.with_fingerprint(df).collect()
+    by_id = {r["id"]: r["fingerprint"] for r in fp}
+    assert by_id[1] == by_id[2]  # whitespace-normalized
+    assert by_id[1] != by_id[3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("abcdef",)], ["text"])
+    out = df.select(text.shingles_col(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["abc", "bcd", "cde", "def"]
+
+
+# --- dedup ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "the quick brown fox jumps over the lazy dog near the river banks"),
+        (4, "completely different text about compression engines in spark"),
+        (5, "another unrelated document mentioning nothing similar at all ok"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = dedup.exact_dup_groups(dup_docs, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["group_size"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, "doc_id", n_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always survives
+    assert (1, 3) in found or (2, 3) in found  # near dup at high jaccard
+    assert all(4 not in p and 5 not in p for p in found)
+
+
+def test_ngram_jaccard_exact_verification(spark, dup_docs):
+    cands = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(dup_docs, cands, "doc_id").collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.7 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] < 0.2
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = dedup.simhash_near_dups(dup_docs, "doc_id", max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((1, 2)) == 0
+    assert (1, 4) not in found
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dedup.embedding_neardup_pairs(df, n_planes=2, min_cosine=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+# --- similarity ------------------------------------------------------------------
+
+
+def test_cosine_topk_self_is_first(spark, emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    out = similarity.cosine_topk(emb, list(row["embedding"]), k=5).collect()
+    assert out[0]["vec_id"] == 0
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    sims = [r["cosine"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_contains_self(spark, emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    out = similarity.ann_lsh_topk(emb, list(row["embedding"]), k=5, n_planes=4).collect()
+    assert out and out[0]["vec_id"] == 0
+
+
+def test_pairwise_topk_per_query(spark, emb):
+    queries = emb.limit(3)
+    out = similarity.pairwise_cosine_topk_per_query(queries, emb, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 3
+    for q, rows in by_q.items():
+        assert len(rows) == 4
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4]
+
+
+# --- multimodal -------------------------------------------------------------------
+
+
+def test_media_features_plumbing(spark):
+    from cuda_float_compress_spark.table import generate_webpages_df
+
+    df = generate_webpages_df(spark, 200, partitions=2)
+    feats = multimodal.extract_media_features(df, "url", "html")
+    rows = feats.collect()
+    assert len(rows) == 200
+    r = {x["url"]: x for x in rows}
+    # html template rows sniff as octet-stream; entropy in [0,8]
+    assert all(0.0 <= x["byte_entropy"] <= 8.0 for x in rows)
+    assert all(x["n_bytes"] >= 0 for x in rows)
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG1234", fake=False)
+    img = multimodal.decode_image(b"\x89PNG1234", fake=True)
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([("u1", b"x" * 5000)], ["url", "html"])
+    out = multimodal.frame_sample_plan(df, every_n=2).collect()
+    idxs = [r["frame_idx"] for r in out]
+    assert idxs == [0, 2, 4]
+
+
+# --- streaming --------------------------------------------------------------------
+
+
+def test_streaming_windowed_counts_matches_batch(spark):
+    stream_out = run_windowed_counts(
+        spark, f"{SF}/events.parquet", window="1 hour", query_name="t_wc"
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    assert stream_out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_out).count() == 0
+
+
+def test_sessionize(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sess = sessionize_batch(ev, gap_minutes=30)
+    agg = sess.agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_sessions")
+    ).collect()[0]
+    assert agg["total"] == ev.count()
+    assert 0 < agg["n_sessions"] <= ev.count()
