@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: encode the sf0.001 tables with the compression
+engine, decode, and return the per-column round-trip/compression report.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-data-pipeline ops). Spark runs the DataFrame
+implementation; DuckDB runs the oracle SQL on the same parquet views.
+Column names/aliases match exactly on both sides; float aggregates are
+rounded identically; timestamps are exported as epoch integers to dodge
+dialect formatting.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode sf0.001 documents through the compression engine, decode, and
+    report per-column round-trip status + compression ratio."""
+    from cuda_float_compress_spark.operators.decode import decode_table
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.verify import verify_roundtrip
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = f"{SCRATCH}/entry_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False)
+        decoded = decode_table(spark, out)
+        report = verify_roundtrip(docs, decoded, "url")
+        manifest = spark.read.parquet(f"{out}/manifest")
+        sizes = manifest.groupBy("col").agg(
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        result = (
+            report.join(sizes, report["column"] == sizes["col"], "left")
+            .select(
+                "column",
+                "n_rows",
+                "n_match",
+                "ok",
+                "raw_bytes",
+                "enc_bytes",
+                F.round(
+                    F.col("raw_bytes") / F.greatest(F.col("enc_bytes"), F.lit(1)), 3
+                ).alias("ratio"),
+            )
+            .orderBy("column")
+        )
+        result = result.cache()
+        result.count()
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark DataFrame implementations
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_top_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    # dimension side broadcast: customer is tiny relative to lineitem
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_nation_revenue(spark, sf_dir):
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _filtered_scan_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_discount") > 0.05)
+        )
+        .select("l_quantity", "l_extendedprice")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _window_topk_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def _rollup_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _pivot_linestatus(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))), 2
+        ).alias("qty_o"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2
+        ).alias("qty_f"),
+    )
+
+
+def _set_ops_langs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    sources = docs.select("source").distinct().orderBy("source").limit(1)
+    a = docs.join(F.broadcast(sources), "source").select("lang").distinct()
+    b = docs.join(F.broadcast(sources), "source", "left_anti").select("lang").distinct()
+    return a.exceptAll(b).select(F.col("lang").alias("lang_only_in_first_source"))
+
+
+def _distinct_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.unix_micros(hour).alias("hour_us"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _sessionize_users(spark, sf_dir):
+    from cuda_float_compress_spark.streaming import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    sess = sessionize_batch(ev, gap_minutes=30)
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max(F.unix_micros(F.col("session_end").cast("timestamp"))).alias(
+            "last_end_us"
+        ),
+    )
+
+
+def _exact_dedup_docs(spark, sf_dir):
+    from cuda_float_compress_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id")
+
+
+def _token_counts(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_count(docs).select("doc_id", "n_tokens")
+
+
+def _quality_scores(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id", "punct_ratio", "digit_ratio", "upper_ratio", "mean_word_len"
+    )
+
+
+def _doc_fingerprints(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _dup_text_groups(spark, sf_dir):
+    from cuda_float_compress_spark.operators.dedup import exact_dup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id")
+
+
+def _embedding_topk(spark, sf_dir):
+    from cuda_float_compress_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10).select(
+        "vec_id", F.round("cosine", 3).alias("cos3")
+    )
+
+
+def _minhash_dedup_pairs(spark, sf_dir):
+    from cuda_float_compress_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+
+
+def _simhash_pairs(spark, sf_dir):
+    from cuda_float_compress_spark.operators.dedup import simhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", max_hamming=3)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from cuda_float_compress_spark.operators.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_lsh_topk(emb, list(qv), k=10, n_planes=6)
+
+
+def _media_features(spark, sf_dir):
+    from cuda_float_compress_spark.operators.multimodal import extract_media_features
+    from cuda_float_compress_spark.table import generate_webpages_df
+
+    web = generate_webpages_df(spark, 500, partitions=4)
+    return extract_media_features(web, "url", "html").select(
+        "url", "media_type", "n_bytes"
+    )
+
+
+def _compression_raw_sizes(spark, sf_dir):
+    """Encode documents with the engine; report per-column raw byte totals
+    from the manifest — independently recomputable by the oracle from the
+    source table."""
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False)
+        manifest = spark.read.parquet(f"{out}/manifest")
+        res = (
+            manifest.groupBy("col")
+            .agg(F.sum("raw_bytes").alias("raw_bytes"))
+            .withColumnRenamed("col", "column")
+        ).cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _roundtrip_verify(spark, sf_dir):
+    """The north-rule gate as a query: encode+decode documents, verify every
+    column byte-identical; oracle states the expected all-green report."""
+    from cuda_float_compress_spark.operators.decode import decode_table
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.verify import verify_roundtrip
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False)
+        decoded = decode_table(spark, out)
+        res = (
+            verify_roundtrip(docs, decoded, "url")
+            .select("column", "n_rows", "n_match", "ok")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "filtered_scan_agg": _filtered_scan_agg,
+        "window_topk_docs": _window_topk_docs,
+        "rollup_events": _rollup_events,
+        "pivot_linestatus": _pivot_linestatus,
+        "set_ops_langs": _set_ops_langs,
+        "distinct_counts": _distinct_counts,
+        "events_hourly": _events_hourly,
+        "sessionize_users": _sessionize_users,
+        "exact_dedup_docs": _exact_dedup_docs,
+        "dup_text_groups": _dup_text_groups,
+        "token_counts": _token_counts,
+        "quality_scores": _quality_scores,
+        "doc_fingerprints": _doc_fingerprints,
+        "embedding_topk": _embedding_topk,
+        "minhash_dedup_pairs": _minhash_dedup_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "media_features": _media_features,
+        "compression_raw_sizes": _compression_raw_sizes,
+        "roundtrip_verify": _roundtrip_verify,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB SQL over the same parquet views
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4)      AS avg_qty,
+                   count(*)                       AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "filtered_scan_agg": """
+            SELECT count(*) AS n,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount > 0.05
+        """,
+        "window_topk_docs": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 3
+        """,
+        "rollup_events": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type)
+        """,
+        "pivot_linestatus": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "set_ops_langs": """
+            WITH first_src AS (
+                SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 1
+            ),
+            a AS (SELECT DISTINCT lang FROM documents
+                  WHERE source IN (SELECT source FROM first_src)),
+            b AS (SELECT DISTINCT lang FROM documents
+                  WHERE source NOT IN (SELECT source FROM first_src))
+            SELECT lang AS lang_only_in_first_source FROM (
+                SELECT lang FROM a EXCEPT ALL SELECT lang FROM b
+            )
+        """,
+        "distinct_counts": """
+            SELECT count(DISTINCT user_id)    AS n_users,
+                   count(DISTINCT event_type) AS n_types,
+                   count(*)                   AS n_events
+            FROM events
+        """,
+        "events_hourly": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize_users": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM flagged
+            ),
+            per_session AS (
+                SELECT user_id, session_seq, count(*) AS n_events,
+                       max(ts) AS session_end
+                FROM sessions GROUP BY user_id, session_seq
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   sum(n_events) AS n_events,
+                   max(epoch_us(session_end)) AS last_end_us
+            FROM per_session GROUP BY user_id
+        """,
+        "exact_dedup_docs": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY md5(text)
+        """,
+        "dup_text_groups": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio,
+                   round(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(text)::DOUBLE
+                                   / len(string_split_regex(trim(text), '\\s+'))
+                         END, 6) AS mean_word_len
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(round(list_dot_product(embedding::DOUBLE[], qv)
+                         / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                                    * sqrt(list_dot_product(qv, qv)), 1e-12), 6), 3) AS cos3
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY round(list_dot_product(embedding::DOUBLE[], qv)
+                     / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(qv, qv)), 1e-12), 6) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+        "compression_raw_sizes": """
+            SELECT 'doc_id' AS column, 8 * count(*) AS raw_bytes FROM documents
+            UNION ALL
+            SELECT 'n_chars', 8 * count(*) FROM documents
+            UNION ALL
+            SELECT 'text', sum(octet_length(encode(text)))::BIGINT FROM documents
+            UNION ALL
+            SELECT 'lang', sum(octet_length(encode(lang)))::BIGINT FROM documents
+            UNION ALL
+            SELECT 'source', sum(octet_length(encode(source)))::BIGINT FROM documents
+            UNION ALL
+            SELECT 'url', sum(octet_length(encode('doc://d/' || doc_id)))::BIGINT
+            FROM documents
+        """,
+        "roundtrip_verify": """
+            SELECT col AS column, count(*) AS n_rows, count(*) AS n_match, true AS ok
+            FROM documents, (
+                SELECT unnest(['doc_id', 'lang', 'n_chars', 'source', 'text', 'url']) AS col
+            )
+            GROUP BY col
+        """,
+        # minhash_dedup_pairs / simhash_pairs / ann_lsh_topk / media_features:
+        # intentionally omitted — LSH bucketing & mapInPandas feature extraction
+        # aren't SQL-expressible; the driver records rows-only checks for them.
+    }
