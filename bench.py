@@ -1,0 +1,220 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries + the encode/decode pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, then evidences the north rule's two-cluster-size
+scaling criterion by re-running the encode stage in fresh subprocesses at
+local[8] and local[32] on the SAME input, reporting throughput at both plus
+scaling efficiency. Prints ONE JSON line.
+
+Subprocess mode (used internally): ``python bench.py --encode-only --cores N``
+prints a small JSON with the encode timing for that parallelism level.
+
+Median-of-N timing follows the reference's harness
+(interleave_test/interleave_test.cu:17,38-42: NUM_RUNS with median reporting).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SCRATCH = "/root/repo/.scratch"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "120000"))
+ENCODE_RUNS = int(os.environ.get("BENCH_ENCODE_RUNS", "3"))
+
+
+def ensure_webpages_parquet(spark, n_rows: int) -> str:
+    """Materialize the synthetic web-page table once (generation is NOT part
+    of the measured encode)."""
+    path = f"{SCRATCH}/webpages_{n_rows}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from cuda_float_compress_spark.table import generate_webpages_df
+
+        shutil.rmtree(path, ignore_errors=True)
+        df = generate_webpages_df(spark, n_rows, partitions=max(CPUS * 2, 16))
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    df = spark.read.parquet(src_path)
+    times = []
+    stats = None
+    for _ in range(runs):
+        out = f"{SCRATCH}/bench_enc_{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        stats = encode_table(
+            spark, df, out, n_parts=n_parts, resume=False, detect_skew=True
+        )
+        times.append(time.perf_counter() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+    sec = statistics.median(times)
+    return {
+        "rows": stats["rows"],
+        "raw_bytes": stats["raw_bytes"],
+        "enc_bytes": stats["enc_bytes"],
+        "ratio": round(stats["raw_bytes"] / max(stats["enc_bytes"], 1), 4),
+        "sec": round(sec, 3),
+        "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
+        "runs": runs,
+    }
+
+
+def run_decode(spark, src_path: str, n_parts: int) -> dict:
+    from cuda_float_compress_spark.operators.decode import decode_table
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    df = spark.read.parquet(src_path)
+    out = f"{SCRATCH}/bench_dec_{uuid.uuid4().hex[:8]}"
+    try:
+        stats = encode_table(spark, df, out, n_parts=n_parts, resume=False)
+        t0 = time.perf_counter()
+        n = decode_table(spark, out).count()
+        sec = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "sec": round(sec, 3),
+            "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def encode_only_main(cores: int, src_path: str, n_parts: int) -> None:
+    from cuda_float_compress_spark.session import get_spark
+
+    spark = get_spark(app=f"bench_enc_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    try:
+        # warm-up run (JIT, Arrow worker spin-up), then measured runs
+        run_encode(spark, src_path, n_parts, runs=1)
+        res = run_encode(spark, src_path, n_parts, runs=ENCODE_RUNS)
+        print("\n" + json.dumps({"cores": cores, **res}))
+    finally:
+        spark.stop()
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "window_topk_docs",
+    "events_hourly",
+    "sessionize_users",
+    "exact_dedup_docs",
+    "token_counts",
+    "quality_scores",
+    "doc_fingerprints",
+    "minhash_dedup_pairs",
+    "simhash_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--src", type=str, default=None)
+    ap.add_argument("--n-parts", type=int, default=64)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    if args.encode_only:
+        encode_only_main(args.cores, args.src, args.n_parts)
+        return
+
+    from cuda_float_compress_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="bench", cores=args.cores,
+                      shuffle_partitions=max(args.cores, 8))
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    web_path = ensure_webpages_parquet(spark, BENCH_WEB_ROWS)
+
+    # --- headline: encode + decode throughput on the web-page table ---------
+    encode_res = run_encode(spark, web_path, args.n_parts, runs=ENCODE_RUNS)
+    decode_res = run_decode(spark, web_path, args.n_parts)
+
+    # --- queries -------------------------------------------------------------
+    qs = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.collect()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench line intact on a bad query
+            qtimes[name] = -1.0
+            print(f"query {name} failed: {e}", file=sys.stderr)
+
+    spark.stop()
+
+    # --- scaling: same encode job, fresh JVMs at local[8] vs local[32] -------
+    scaling = None
+    if not args.skip_scaling:
+        levels = {}
+        for cores in (8, 32):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--encode-only", "--cores", str(cores),
+                "--src", web_path, "--n-parts", str(args.n_parts),
+            ]
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            levels[cores] = json.loads(line)
+        t8, t32 = levels[8]["sec"], levels[32]["sec"]
+        thr8, thr32 = levels[8]["gb_per_sec"], levels[32]["gb_per_sec"]
+        scaling = {
+            "cores_lo": 8,
+            "cores_hi": 32,
+            "sec_lo": t8,
+            "sec_hi": t32,
+            "gb_per_sec_lo": thr8,
+            "gb_per_sec_hi": thr32,
+            "speedup": round(t8 / t32, 4),
+            "efficiency": round((t8 / t32) / (32 / 8), 4),
+        }
+
+    total = round(sum(t for t in qtimes.values() if t > 0)
+                  + encode_res["sec"] + decode_res["sec"], 3)
+    out = {
+        "metric": "bench_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "encode": encode_res,
+        "decode": decode_res,
+        "web_rows": BENCH_WEB_ROWS,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,10 +135,12 @@ def bitpack(u: np.ndarray, width: int) -> bytes:
     n = len(u)
     if width == 0 or n == 0:
         return b""
-    u = u.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)[:, None]
-    planes = ((u[None, :] >> shifts) & np.uint64(1)).astype(np.uint8)  # (width, n)
-    return np.packbits(planes, axis=1).tobytes()
+    u = np.ascontiguousarray(u, dtype="<u8")
+    # C-speed path: bytes -> bit matrix (n, 64) -> take low `width` planes ->
+    # transpose -> pack. All unpack/pack loops run in numpy's C core.
+    bits = np.unpackbits(u.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")
+    planes = np.ascontiguousarray(bits[:, :width].T)  # (width, n)
+    return np.packbits(planes, axis=1, bitorder="little").tobytes()
 
 
 def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
@@ -149,11 +151,11 @@ def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
         np.frombuffer(buf, dtype=np.uint8).reshape(width, row_bytes),
         axis=1,
         count=n,
-    ).astype(np.uint64)
-    out = np.zeros(n, dtype=np.uint64)
-    for k in range(width):
-        out |= planes[k] << np.uint64(k)
-    return out
+        bitorder="little",
+    )  # (width, n)
+    bits = np.zeros((n, 64), dtype=np.uint8)
+    bits[:, :width] = planes.T
+    return np.packbits(bits, axis=1, bitorder="little").view("<u8").reshape(n)
 
 
 def rle_runs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
