@@ -374,51 +374,119 @@ def fsst_train(sample: bytes) -> list[bytes]:
 
 
 def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
-    by_first: dict[int, list[tuple[bytes, int]]] = {}
-    for i, s in enumerate(symbols):
-        by_first.setdefault(s[0], []).append((s, i))
-    for k in by_first:
-        by_first[k].sort(key=lambda si: len(si[0]), reverse=True)
-    out = bytearray()
-    pos = 0
-    ln = len(data)
-    while pos < ln:
-        cands = by_first.get(data[pos])
-        if cands is not None:
-            for s, code in cands:
-                if data[pos : pos + len(s)] == s:
-                    out.append(code)
-                    pos += len(s)
-                    break
-            else:
-                out.append(_FSST_ESCAPE)
-                out.append(data[pos])
-                pos += 1
-        else:
-            out.append(_FSST_ESCAPE)
-            out.append(data[pos])
-            pos += 1
-    return bytes(out)
+    """Vectorized greedy longest-match FSST encode.
+
+    1. Exact longest-match per position: view every 8-byte window as a
+       little-endian uint64; a length-l symbol matches where
+       (window & mask_l) ∈ {that length's symbol words} (np.isin, exact —
+       no hash collisions since l ≤ 8 bytes fit the word).
+    2. The greedy parse (jump len(match) or 1) is a single out-degree-1
+       chain; its position set is extracted with pointer-doubling
+       (O(log n) numpy passes), not a per-byte Python loop.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    if not symbols:
+        out = np.empty(2 * n, dtype=np.uint8)
+        out[0::2] = _FSST_ESCAPE
+        out[1::2] = np.frombuffer(data, dtype=np.uint8)
+        return out.tobytes()
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    pad = np.zeros(n + 8, dtype=np.uint8)
+    pad[:n] = arr
+    # w64[i] = little-endian uint64 of pad[i:i+8], built by 8 shifted ORs
+    w64 = pad[:n].astype(np.uint64)
+    for j in range(1, 8):
+        w64 |= pad[j : n + j].astype(np.uint64) << np.uint64(8 * j)
+
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for code, s in enumerate(symbols):
+        length = len(s)
+        word = int.from_bytes(s.ljust(8, b"\0"), "little")
+        by_len.setdefault(length, []).append((word, code))
+    match_len = np.zeros(n, dtype=np.int64)
+    match_code = np.full(n, _FSST_ESCAPE, dtype=np.uint8)
+    for length in sorted(by_len, reverse=True):  # longest first
+        pairs = sorted(by_len[length])
+        keys = np.array([p[0] for p in pairs], dtype=np.uint64)
+        codes = np.array([p[1] for p in pairs], dtype=np.uint8)
+        masked = w64 & np.uint64((1 << (8 * length)) - 1 if length < 8 else (1 << 64) - 1)
+        cand = (match_len == 0) & np.isin(masked, keys)
+        if length > 1:  # don't match past the end of data
+            cand[n - length + 1 :] = False
+        if cand.any():
+            idx = np.searchsorted(keys, masked[cand])
+            match_len[cand] = length
+            match_code[cand] = codes[idx]
+
+    # greedy parse: next[i] = i + max(match_len[i], 1); the parse positions
+    # are the chain from 0 under next[]. Extract via pointer doubling:
+    # after k squarings jump[] advances 2^k tokens, and R ∪ jump[R] over
+    # k = 0..log2(n) enumerates every position on the chain.
+    step = np.maximum(match_len, 1)
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
+    jump = np.append(nxt, n)  # sentinel: position n maps to itself
+    # invariant: after k rounds, path holds token-indices < 2^k (all distinct)
+    # and jump advances 2^k tokens — so jump[path] is exactly the next block
+    # of the chain; no dedup needed.
+    path = np.array([0], dtype=np.int64)
+    while True:
+        stepped = jump[path]
+        new = stepped[stepped < n]
+        if len(new) == 0:
+            break
+        path = np.concatenate([path, new])
+        jump = jump[jump]  # squaring: now advances twice as many tokens
+    tok_len = match_len[path]
+    is_sym = tok_len > 0
+    out_sizes = np.where(is_sym, 1, 2)
+    offsets = np.zeros(len(path) + 1, dtype=np.int64)
+    np.cumsum(out_sizes, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint8)
+    out[offsets[:-1][is_sym]] = match_code[path[is_sym]]
+    esc_off = offsets[:-1][~is_sym]
+    out[esc_off] = _FSST_ESCAPE
+    out[esc_off + 1] = arr[path[~is_sym]]
+    return out.tobytes()
 
 
 def fsst_decode_bytes(enc: bytes, symbols: list[bytes]) -> bytes:
-    # vectorized decode: split the code stream on escapes, then symbol-table
-    # take + concat
+    """Vectorized decode: token starts extracted with the same pointer-
+    doubling chain walk as the encoder, then one scatter per symbol code."""
+    n = len(enc)
+    if n == 0:
+        return b""
     codes = np.frombuffer(enc, dtype=np.uint8)
-    out = []
-    i = 0
-    n = len(codes)
-    # positions of escape markers define literal bytes
-    enc_b = enc
-    while i < n:
-        c = codes[i]
-        if c == _FSST_ESCAPE:
-            out.append(enc_b[i + 1 : i + 2])
-            i += 2
-        else:
-            out.append(symbols[c])
-            i += 1
-    return b"".join(out)
+    step = np.where(codes == _FSST_ESCAPE, 2, 1).astype(np.int64)
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
+    jump = np.append(nxt, n)
+    starts = np.array([0], dtype=np.int64)
+    while True:
+        stepped = jump[starts]
+        grown = np.unique(np.concatenate([starts, stepped[stepped < n]]))
+        if len(grown) == len(starts):
+            break
+        starts = grown
+        jump = jump[jump]
+    tok = codes[starts]
+    sym_lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
+    is_esc = tok == _FSST_ESCAPE
+    lens = np.where(is_esc, 1, sym_lens[np.minimum(tok, len(symbols))])
+    offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint8)
+    # literals
+    esc_out = offsets[:-1][is_esc]
+    out[esc_out] = codes[np.minimum(starts[is_esc] + 1, n - 1)]
+    # one vectorized scatter per distinct symbol code present
+    for c in np.unique(tok[~is_esc]):
+        s = np.frombuffer(symbols[c], dtype=np.uint8)
+        where = offsets[:-1][tok == c]
+        for j in range(len(s)):
+            out[where + j] = s[j]
+    return out.tobytes()
 
 
 def fsst_serialize_table(symbols: list[bytes]) -> bytes:

@@ -48,14 +48,21 @@ def minhash_signature(
     n_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Adds ``minhash: array<bigint>``. Each component is
-    min over shingles of xxhash64(shingle, seed_i) — all JVM expressions."""
+    """Adds ``minhash: array<bigint>``. Shingles are string-hashed ONCE
+    (the expensive pass over text bytes), then each of the n_hashes
+    components re-hashes the int64 — min over xxhash64(xxhash64(shingle),
+    seed_i). All JVM expressions, one string pass instead of n_hashes."""
     sh = shingles_col(F.col(text_col), shingle_k)
+    # materialize the hashed-shingle array in its own projection so the
+    # n_hashes component expressions reuse it instead of re-hashing strings
+    with_base = df.withColumn("__shingle_hashes", F.transform(sh, lambda s: F.xxhash64(s)))
     comps = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(
+            F.transform(F.col("__shingle_hashes"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
+        )
         for i in range(n_hashes)
     ]
-    return df.withColumn("minhash", F.array(*comps))
+    return with_base.withColumn("minhash", F.array(*comps)).drop("__shingle_hashes")
 
 
 def minhash_lsh_pairs(

@@ -231,11 +231,16 @@ def encode_table(
         )
         manifest.write.mode("append").parquet(f"{out_dir}/manifest")
 
+        # lineage derives from the (tiny) manifest — one blocks scan total,
+        # and that scan is column-pruned (payload never read back)
+        manifest_rows = spark.read.parquet(f"{out_dir}/manifest").filter(
+            F.col("run_id") == run_id
+        )
         lineage = (
-            written.groupBy("part_id")
+            manifest_rows.groupBy("part_id")
             .agg(
-                F.countDistinct("chunk_id").alias("n_chunks"),
-                (F.sum("n") / F.countDistinct("col")).cast("long").alias("n_rows"),
+                F.max("n_chunks").alias("n_chunks"),
+                F.max("n_values").alias("n_rows"),
                 F.sum("raw_bytes").alias("raw_bytes"),
                 F.sum("enc_bytes").alias("enc_bytes"),
             )

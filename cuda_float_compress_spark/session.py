@@ -35,7 +35,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(CHUNK_ROWS))
+        # Arrow batch caps: 32k-row batches of wide binary rows grow >4MB
+        # vectors in the JVM writer, which triggers GC-thrash/stall pathology
+        # (measured 20x slowdown on the html column); ~4MB batches are fast
+        # and stable. The encode UDF re-buffers batches up to its chunk size.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(4 * 1024 * 1024))
         # payload blocks are already codec-compressed; parquet recompression
         # of binary blobs wastes CPU at 100 TB scale
         .config("spark.sql.parquet.compression.codec", "snappy")
