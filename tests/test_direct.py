@@ -1,0 +1,60 @@
+"""Direct-layout (no-shuffle) encode path: bit-identity + resume."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cuda_float_compress_spark.operators.decode import decode_table
+from cuda_float_compress_spark.operators.direct import encode_table_direct, plan_splits
+from cuda_float_compress_spark.operators.verify import verify_roundtrip
+from cuda_float_compress_spark.table import generate_webpages_df
+
+
+def test_plan_splits_covers_all_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    generate_webpages_df(spark, 2000, partitions=3).write.parquet(src)
+    splits = plan_splits(src, target_rows_per_split=500)
+    assert len(splits) >= 3
+    assert [s[0] for s in splits] == list(range(len(splits)))
+
+
+def test_direct_encode_bit_identical(spark, tmp_path, scratch):
+    src = str(tmp_path / "src")
+    df = generate_webpages_df(spark, 3000, partitions=4)
+    df.write.parquet(src)
+    stats = encode_table_direct(
+        spark, src, scratch, chunk_rows=512, resume=False,
+        target_rows_per_split=1000,
+    )
+    assert stats["rows"] == 3000
+    decoded = decode_table(spark, scratch)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
+
+
+def test_direct_resume(spark, tmp_path, scratch):
+    src = str(tmp_path / "src")
+    generate_webpages_df(spark, 2000, partitions=2).write.parquet(src)
+    s1 = encode_table_direct(spark, src, scratch, resume=False,
+                             target_rows_per_split=500)
+    n_blocks = spark.read.parquet(f"{scratch}/blocks").count()
+    s2 = encode_table_direct(spark, src, scratch, resume=True,
+                             target_rows_per_split=500)
+    assert s2["rows"] == 0 and s2["skipped_parts"] > 0
+    assert spark.read.parquet(f"{scratch}/blocks").count() == n_blocks
+    decoded = decode_table(spark, scratch)
+    assert decoded.count() == 2000
+
+
+def test_direct_column_subset(spark, tmp_path, scratch):
+    src = str(tmp_path / "src")
+    generate_webpages_df(spark, 1000, partitions=1).write.parquet(src)
+    encode_table_direct(
+        spark, src, scratch, columns=["url", "text"], resume=False
+    )
+    decoded = decode_table(spark, scratch)
+    assert sorted(decoded.columns) == ["text", "url"]
+    original = spark.read.parquet(src).select("url", "text")
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
