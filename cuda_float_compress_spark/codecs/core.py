@@ -288,12 +288,69 @@ def int_dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     return uniq[codes]
 
 
+def int_patched_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Patched frame-of-reference (FastPFor-style): pack everything at the
+    99th-percentile width; outliers keep their low bits in place and park
+    their high bits in an exception list. Direct descendant of the
+    reference's ENABLE_EXCEPTION_LIST experiment
+    (cpu_compress_test/cpu_compress_test.cpp:36-39,138-177), which it
+    rejected for GPU complexity (src/cuszplus_f32.cu:107-108) — cheap in
+    numpy, and exactly right for one-outlier chunks."""
+    v = v.astype(np.int64, copy=False)
+    n = len(v)
+    if n == 0:
+        return b"", {"ref": 0, "width": 0, "n_exc": 0}
+    ref = int(v.min())
+    u = (v - np.int64(ref)).view(np.uint64)
+    w_full = max_bits(u)
+    # width covering 99% of values (bit_length of the p99 value)
+    w = int(np.partition(u, max(0, int(n * 0.99) - 1))[max(0, int(n * 0.99) - 1)]).bit_length()
+    if w >= w_full:
+        w = w_full
+        exc_idx = np.zeros(0, dtype=np.int64)
+    else:
+        exc_idx = np.flatnonzero(u >> np.uint64(w)).astype(np.int64)
+    low = u & np.uint64((1 << w) - 1 if w else 0)
+    body = zstd_compress(bitpack(low, w))
+    if len(exc_idx):
+        idx_payload, idx_params = int_delta_encode(exc_idx)
+        high = (u[exc_idx] >> np.uint64(w)).view(np.int64)
+        high_payload, high_params = int_for_encode(high)
+        payload = pack_sections(body, idx_payload, high_payload)
+        return payload, {
+            "ref": ref, "width": w, "n_exc": int(len(exc_idx)),
+            "i_first": idx_params["first"], "i_width": idx_params["width"],
+            "h_ref": high_params["ref"], "h_width": high_params["width"],
+        }
+    return pack_sections(body), {"ref": ref, "width": w, "n_exc": 0}
+
+
+def int_patched_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    sections = unpack_sections(payload)
+    w = int(params["width"])
+    row_bytes = (n + 7) // 8
+    u = bitunpack(zstd_decompress(sections[0], w * row_bytes), w, n)
+    n_exc = int(params["n_exc"])
+    if n_exc:
+        exc_idx = int_delta_decode(
+            sections[1], {"first": params["i_first"], "width": params["i_width"]}, n_exc
+        )
+        high = int_for_decode(
+            sections[2], {"ref": params["h_ref"], "width": params["h_width"]}, n_exc
+        ).view(np.uint64)
+        u[exc_idx] |= high << np.uint64(w)
+    return (u.view(np.int64) + np.int64(params["ref"])).astype(np.int64)
+
+
 INT_CODECS = {
     "int_raw": (int_raw_encode, int_raw_decode),
     "int_for": (int_for_encode, int_for_decode),
     "int_delta": (int_delta_encode, int_delta_decode),
     "int_rle": (int_rle_encode, int_rle_decode),
     "int_dict": (int_dict_encode, int_dict_decode),
+    "int_patched": (int_patched_encode, int_patched_decode),
 }
 
 

@@ -42,6 +42,14 @@ def select_int_codec(v: np.ndarray, candidates: list[str] | None = None) -> str:
             cands.append("int_rle")
         if card <= len(sample) // 2:
             cands.append("int_dict")
+        # outlier detection: patched FOR pays off when the max is far wider
+        # than the typical value (the reference's exception-list case)
+        smin = int(sample.min())
+        u = (sample - smin).astype(np.int64)
+        if len(u) >= 8:
+            p99 = int(np.partition(u, max(0, int(len(u) * 0.99) - 1))[max(0, int(len(u) * 0.99) - 1)])
+            if int(u.max()).bit_length() > p99.bit_length() + 8:
+                cands.append("int_patched")
     trial = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]
     best, best_size = None, None
     for name in cands:

@@ -61,6 +61,65 @@ def run_windowed_counts(
     )
 
 
+def run_stateful_counts(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "stateful_counts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running per-event_type (count, sum) accumulated in explicit state across
+    micro-batches — the state-store pattern a continuously-crawled encode
+    pipeline would use for per-host codec statistics."""
+    import pandas as pd
+
+    batch_df = spark.read.parquet(source_dir)
+    if source_dir.endswith(".parquet"):
+        parent, fname = source_dir.rsplit("/", 1)
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", fname)
+            .format("parquet")
+            .load(parent)
+        )
+    else:
+        stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+
+    def update(key, pdfs, state):
+        total_n, total_v = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total_n += len(pdf)
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [total_n], "sum_value": [round(total_v, 4)]}
+        )
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n long, sum_value double",
+        stateStructType="n long, sum_value double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends rows; the latest row per key is the
+    # final state
+    return spark.sql(
+        f"""SELECT event_type, n, sum_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC) rn
+              FROM {query_name}) WHERE rn = 1"""
+    ).drop("rn")
+
+
 def sessionize_batch(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -214,3 +214,16 @@ def test_sessionize(spark):
     ).collect()[0]
     assert agg["total"] == ev.count()
     assert 0 < agg["n_sessions"] <= ev.count()
+
+
+def test_stateful_streaming_counts(spark):
+    from cuda_float_compress_spark.streaming import run_stateful_counts
+
+    out = run_stateful_counts(spark, f"{SF}/events.parquet", query_name="t_sc")
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
