@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = "/root/repo/.scratch"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "120000"))
+BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "480000"))
 ENCODE_RUNS = int(os.environ.get("BENCH_ENCODE_RUNS", "3"))
 
 
@@ -218,14 +218,14 @@ def main() -> None:
         scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
         scale_path = ensure_webpages_parquet(spark, scale_rows)
         levels: dict[int, list[dict]] = {lo: [], hi: []}
-        for cores in (lo, hi, lo, hi):
+        for cores in (lo, hi, lo, hi, lo, hi):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--encode-only", "--cores", str(cores),
                 "--src", scale_path, "--n-parts", str(args.n_parts),
             ]
             env = dict(os.environ)
-            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "2")
+            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "1")
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
