@@ -1,0 +1,100 @@
+"""spark-submit entry point.
+
+Package and run (the north star's deployment shape):
+
+    zip -r cfc_spark.zip cuda_float_compress_spark/
+    spark-submit --py-files cfc_spark.zip -m cuda_float_compress_spark.cli ...
+
+or locally:
+
+    python -m cuda_float_compress_spark.cli encode --input DIR --out DIR \
+        [--mode hash|range|direct] [--n-parts 64] [--resume/--no-resume]
+    python -m cuda_float_compress_spark.cli decode --out DIR --dest DIR [--columns a,b]
+    python -m cuda_float_compress_spark.cli verify --input DIR --out DIR --key url
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cuda_float_compress_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True, help="input parquet dir")
+    enc.add_argument("--out", required=True, help="output dir (blocks/manifest/lineage)")
+    enc.add_argument("--mode", default="hash", choices=["hash", "range", "direct"])
+    enc.add_argument("--n-parts", type=int, default=64)
+    enc.add_argument("--url-col", default="url")
+    enc.add_argument("--chunk-rows", type=int, default=32_768)
+    enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--cores", type=int, default=None)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--out", required=True, help="encoded dir")
+    dec.add_argument("--dest", required=True, help="where to write decoded parquet")
+    dec.add_argument("--columns", default=None)
+    dec.add_argument("--cores", type=int, default=None)
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--out", required=True)
+    ver.add_argument("--key", default="url")
+    ver.add_argument("--cores", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from cuda_float_compress_spark.session import get_spark
+
+    spark = get_spark(app=f"cfc_{args.cmd}", cores=args.cores)
+    try:
+        if args.cmd == "encode":
+            if args.mode == "direct":
+                from cuda_float_compress_spark.operators.direct import (
+                    encode_table_direct,
+                )
+
+                stats = encode_table_direct(
+                    spark, args.input, args.out,
+                    chunk_rows=args.chunk_rows, resume=not args.no_resume,
+                )
+            else:
+                from cuda_float_compress_spark.operators.encode import encode_table
+
+                df = spark.read.parquet(args.input)
+                stats = encode_table(
+                    spark, df, args.out, url_col=args.url_col,
+                    n_parts=args.n_parts, mode=args.mode,
+                    chunk_rows=args.chunk_rows, resume=not args.no_resume,
+                )
+            print(json.dumps(stats))
+        elif args.cmd == "decode":
+            from cuda_float_compress_spark.operators.decode import decode_table
+
+            cols = args.columns.split(",") if args.columns else None
+            decode_table(spark, args.out, columns=cols).write.mode(
+                "overwrite"
+            ).parquet(args.dest)
+            print(json.dumps({"decoded_to": args.dest}))
+        elif args.cmd == "verify":
+            from cuda_float_compress_spark.operators.decode import decode_table
+            from cuda_float_compress_spark.operators.verify import verify_roundtrip
+
+            original = spark.read.parquet(args.input)
+            decoded = decode_table(spark, args.out)
+            rows = verify_roundtrip(original, decoded, args.key).collect()
+            report = [r.asDict() for r in rows]
+            print(json.dumps(report))
+            if not all(r["ok"] for r in report):
+                return 1
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

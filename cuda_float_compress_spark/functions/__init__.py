@@ -27,3 +27,23 @@ def epoch_us(ts_col: Column) -> Column:
 
 def ts_day(ts_col: Column) -> Column:
     return F.date_trunc("day", ts_col)
+
+
+def codec_trials_udtf():
+    """Python UDTF (Spark 4): one row per codec with the trial-encoded size
+    of a text sample — `SELECT * FROM codec_trials('some text')`. The UDTF
+    face of the auto-selector, handy for interactive codec exploration."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="codec string, enc_bytes long, raw_bytes long")
+    class CodecTrials:
+        def eval(self, text: str):
+            from cuda_float_compress_spark.codecs import core
+
+            items = [text.encode("utf-8") if text is not None else None]
+            raw = len(items[0]) if items[0] else 0
+            for name, (enc, _dec) in core.BYTES_CODECS.items():
+                payload, _ = enc(items)
+                yield name, len(payload), raw
+
+    return CodecTrials
