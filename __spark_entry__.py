@@ -358,6 +358,51 @@ def _roundtrip_verify(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q6_revenue_change(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def _events_type_share(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "share",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6),
+    )
+
+
+def _customers_without_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).agg(F.count("*").alias("n_customers_without_orders"))
+
+
+def _order_priority_histogram(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    early = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey").distinct()
+    return (
+        orders.join(early, orders["o_orderkey"] == early["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -381,6 +426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,
         "media_features": _media_features,
+        "q6_revenue_change": _q6_revenue_change,
+        "events_type_share": _events_type_share,
+        "customers_without_orders": _customers_without_orders,
+        "order_priority_histogram": _order_priority_histogram,
         "compression_raw_sizes": _compression_raw_sizes,
         "roundtrip_verify": _roundtrip_verify,
     }
@@ -581,6 +630,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(['doc_id', 'lang', 'n_chars', 'source', 'text', 'url']) AS col
             )
             GROUP BY col
+        """,
+        "q6_revenue_change": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "events_type_share": """
+            SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share
+            FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        """,
+        "customers_without_orders": """
+            SELECT count(*) AS n_customers_without_orders
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "order_priority_histogram": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            )
+            GROUP BY o_orderpriority
         """,
         # minhash_dedup_pairs / simhash_pairs / ann_lsh_topk / media_features:
         # intentionally omitted — LSH bucketing & mapInPandas feature extraction

