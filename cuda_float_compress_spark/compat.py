@@ -1,0 +1,103 @@
+"""Drop-in API surface matching the reference's two public functions.
+
+The reference exposes exactly ``cuszplus_compress(tensor, max_error)`` and
+``cuszplus_decompress(data, device)`` via pybind11
+(src/cuda_float_compress.cpp:88-91). A user switching to this repo calls the
+same names with numpy arrays (torch users: pass ``t.numpy()``, wrap the
+result back with ``torch.from_numpy``). Semantics match the reference:
+
+* input: 1-D float32; values quantized to round-half-even(x / (2*max_error))
+  (src/cuda_float_compress.cpp:34, src/cuszplus_f32.cu:384-388), then the
+  LOSSLESS integer pipeline: delta -> zigzag -> bit-plane pack -> Zstd L1.
+* output: self-describing bytes with a little-endian header
+  (magic u32, count u32, eps f32 — the reference's header fields,
+  src/cuszplus_f32.cu:30-35) followed by the payload.
+* guarantee: |decompress(compress(x)) - x| <= max_error (up to the same
+  float32 rounding slack the reference itself exhibits, README.md:127-142).
+
+NOT wire-compatible with the reference's CUDA payload (different engine); the
+header fields and API semantics are the compatibility surface.
+
+Also exposes the exact (lossless) integer path the reference's CPU harness
+tests (compress_int32/decompress_int32, cpu_compress_test.cpp:109-245).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+from cuda_float_compress_spark.codecs import core
+
+_MAGIC = 0x00010204  # distinct from the reference's 0x00010203: new format
+
+
+def _pack(kind: int, n: int, eps: float, params: dict, payload: bytes) -> bytes:
+    params_b = json.dumps(params).encode()
+    head = struct.pack("<IIfBI", _MAGIC, n, eps, kind, len(params_b))
+    return head + params_b + payload
+
+
+def _unpack(data: bytes) -> tuple[int, int, float, dict, bytes]:
+    magic, n, eps, kind, plen = struct.unpack_from("<IIfBI", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(f"bad magic 0x{magic:08x}")  # mirrors cuszplus_f32.cu:582-586
+    off = struct.calcsize("<IIfBI")
+    params = json.loads(data[off : off + plen])
+    return kind, n, eps, params, data[off + plen :]
+
+
+def cuszplus_compress(values, max_error: float = 1e-4) -> bytes:
+    """Error-bounded compression of a 1-D float32 array (reference signature:
+    cuszplus_compress(tensor, max_error) -> u8 tensor)."""
+    v = np.ascontiguousarray(values)
+    if v.ndim != 1:
+        v = v.reshape(-1)  # reference flattens via .contiguous() semantics
+    if v.dtype != np.float32:
+        raise TypeError("Input tensor must be float32")  # cuda_float_compress.cpp:15-17
+    payload, params = core.float_quantize_encode(v, max_error)
+    return _pack(1, len(v), 2.0 * max_error, params, payload)
+
+
+def cuszplus_decompress(data: bytes):
+    """Inverse of cuszplus_compress -> 1-D float32 numpy array."""
+    kind, n, _eps, params, payload = _unpack(bytes(data))
+    if kind == 1:
+        return core.float_quantize_decode(payload, params, n).astype(np.float32)
+    if kind == 2:
+        return core.int_delta_decode(payload, params, n).astype(np.int32)
+    if kind == 3:
+        return core.float_byteplane_decode(payload, params, n)
+    raise ValueError(f"unknown payload kind {kind}")
+
+
+def compress_int32(values) -> bytes:
+    """Exact lossless int32 path (reference CPU harness:
+    cpu_compress_test.cpp:109-114)."""
+    v = np.ascontiguousarray(values, dtype=np.int32).reshape(-1)
+    payload, params = core.int_delta_encode(v.astype(np.int64))
+    return _pack(2, len(v), 0.0, params, payload)
+
+
+def decompress_int32(data: bytes) -> np.ndarray:
+    out = cuszplus_decompress(data)
+    if out.dtype != np.int32:
+        raise ValueError("payload is not an int32 stream")
+    return out
+
+
+def compress_lossless_f32(values) -> bytes:
+    """Bit-exact float path (byte-plane + zstd) — for callers who need
+    max_error=0 semantics the reference can't provide."""
+    v = np.ascontiguousarray(values, dtype=np.float32).reshape(-1)
+    payload, params = core.float_byteplane_encode(v)
+    return _pack(3, len(v), 0.0, params, payload)
+
+
+def get_decompressed_float_count(data: bytes) -> int:
+    """Header probe (reference: GetDecompressedFloatCount,
+    src/cuszplus_f32.cu:568-588)."""
+    _, n, _, _, _ = _unpack(bytes(data))
+    return n

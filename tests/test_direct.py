@@ -58,3 +58,20 @@ def test_direct_column_subset(spark, tmp_path, scratch):
     original = spark.read.parquet(src).select("url", "text")
     rep = verify_roundtrip(original, decoded, "url").collect()
     assert all(r["ok"] for r in rep)
+
+
+def test_cli_encode_decode_verify(spark, tmp_path):
+    # CLI smoke via in-process main (reuses the session JVM through get_spark)
+    import json as _json
+
+    from cuda_float_compress_spark import cli
+
+    src = str(tmp_path / "cli_src")
+    out = str(tmp_path / "cli_out")
+    dest = str(tmp_path / "cli_dest")
+    generate_webpages_df(spark, 500, partitions=1).write.parquet(src)
+    assert cli.main(["encode", "--input", src, "--out", out, "--mode", "direct",
+                     "--cores", "4"]) == 0
+    assert cli.main(["decode", "--out", out, "--dest", dest, "--cores", "4"]) == 0
+    assert cli.main(["verify", "--input", src, "--out", out, "--key", "url",
+                     "--cores", "4"]) == 0
