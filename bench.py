@@ -223,8 +223,9 @@ def main() -> None:
         )
         scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
         scale_path = ensure_webpages_parquet(spark, scale_rows)
+        n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "2"))
         levels: dict[int, list[dict]] = {lo: [], hi: []}
-        for cores in (lo, hi, lo, hi, lo, hi):
+        for cores in (lo, hi) * n_pairs:
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--encode-only", "--cores", str(cores),

@@ -1,4 +1,5 @@
 from cuda_float_compress_spark.streaming.jobs import (  # noqa: F401
+    encode_stream,
     run_stateful_counts,
     run_windowed_counts,
     sessionize_batch,

@@ -120,6 +120,41 @@ def run_stateful_counts(
     ).drop("rn")
 
 
+def encode_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    url_col: str = "url",
+    n_parts: int = 16,
+    query_name: str = "encode_stream",
+):
+    """Continuous-ingest encode: a parquet-backed stream of web pages is
+    compressed micro-batch by micro-batch via foreachBatch -> encode_table.
+    Each epoch appends blocks/manifest/lineage with run_id=epoch-N, so the
+    output directory stays decode-able and resume-able mid-stream (the
+    exactly-once story is the sink's idempotent append keyed by epoch)."""
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    batch_df = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+
+    def sink(df, epoch_id: int):
+        encode_table(
+            df.sparkSession, df, out_dir, url_col=url_col, n_parts=n_parts,
+            resume=False, detect_skew=False, run_id=f"epoch-{epoch_id}",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_stream_checkpoint")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def sessionize_batch(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -75,3 +75,19 @@ def test_cli_encode_decode_verify(spark, tmp_path):
     assert cli.main(["decode", "--out", out, "--dest", dest, "--cores", "4"]) == 0
     assert cli.main(["verify", "--input", src, "--out", out, "--key", "url",
                      "--cores", "4"]) == 0
+
+
+def test_streaming_encode_ingest(spark, tmp_path):
+    # continuous-ingest: stream of pages -> per-epoch encoded blocks, table
+    # decodes bit-identical afterwards
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    df = generate_webpages_df(spark, 800, partitions=2)
+    df.write.parquet(src)
+    encode_stream(spark, src, out, n_parts=4)
+    decoded = decode_table(spark, out)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
