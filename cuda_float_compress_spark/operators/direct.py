@@ -36,6 +36,78 @@ from cuda_float_compress_spark.operators.encode import (
 SPLITS_SCHEMA = "part_id int, file string, rg_start int, rg_end int"
 
 
+def decode_table_direct(spark: SparkSession, out_dir: str,
+                        columns: list[str] | None = None):
+    """Shuffle-free decode: every encode task wrote whole chunks to its own
+    blocks file, so chunks never span files — each decode task reads one
+    blocks file with pyarrow and reconstructs its chunks locally. The
+    shuffle-based ``decode_table`` remains for blocks that were compacted or
+    rewritten by other tools."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import chunks as Ch
+    from cuda_float_compress_spark.operators.decode import (
+        _SPARK_TYPE,
+        _STD_ARROW,
+        blocks_of,
+        table_columns,
+    )
+
+    blocks = blocks_of(spark, out_dir)
+    cols = table_columns(blocks)
+    if columns is not None:
+        want = set(columns)
+        cols = [(c, p) for c, p in cols if c in want]
+    col_ptypes = dict(cols)
+    want_cols = [c for c, _ in cols]
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols)
+    arrow_schema = pa.schema([pa.field(c, _STD_ARROW[p]) for c, p in cols])
+
+    files = sorted(glob.glob(f"{out_dir}/blocks/*.parquet"))
+    files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(len(files), 1)
+    )
+
+    def decode_file(batches):
+        for batch in batches:
+            for row in batch.to_pylist():
+                tbl = pq.read_table(
+                    row["file"],
+                    columns=["part_id", "chunk_id", "col", "codec", "n",
+                             "n_nulls", "params", "payload"],
+                )
+                part = tbl.column("part_id").to_numpy(zero_copy_only=False)
+                chunk = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+                names = tbl.column("col").to_pylist()
+                codecs = tbl.column("codec").to_pylist()
+                ns = tbl.column("n").to_pylist()
+                nnulls = tbl.column("n_nulls").to_pylist()
+                params = tbl.column("params").to_pylist()
+                payloads = tbl.column("payload")
+                keys = part.astype(np.int64) << np.int64(32) | chunk.astype(np.int64)
+                by_chunk: dict[int, dict] = {}
+                for i in range(len(keys)):
+                    if names[i] not in col_ptypes:
+                        continue
+                    by_chunk.setdefault(int(keys[i]), {})[names[i]] = i
+                for _, colmap in sorted(by_chunk.items()):
+                    out = {}
+                    for c, ptype in cols:
+                        i = colmap[c]
+                        arr = Ch.decode_column_chunk(
+                            payloads[i].as_py(), codecs[i], params[i],
+                            int(ns[i]), int(nnulls[i]), ptype,
+                        )
+                        if not arr.type.equals(_STD_ARROW[ptype]):
+                            arr = arr.cast(_STD_ARROW[ptype])
+                        out[c] = arr
+                    yield pa.table(
+                        {c: out[c] for c in want_cols}, schema=arrow_schema
+                    ).to_batches(max_chunksize=1 << 30)[0]
+
+    return files_df.mapInArrow(decode_file, schema=out_schema)
+
+
 def plan_splits(input_dir: str, target_rows_per_split: int = 131_072) -> list[tuple]:
     """(part_id, file, rg_start, rg_end) over all parquet files, grouping
     consecutive row groups up to the target. Driver-side metadata only."""

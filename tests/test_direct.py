@@ -91,3 +91,22 @@ def test_streaming_encode_ingest(spark, tmp_path):
     original = spark.read.parquet(src)
     rep = verify_roundtrip(original, decoded, "url").collect()
     assert all(r["ok"] for r in rep), rep
+
+
+def test_direct_decode_bit_identical(spark, tmp_path, scratch):
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+
+    src = str(tmp_path / "src2")
+    df = generate_webpages_df(spark, 2000, partitions=3)
+    df.write.parquet(src)
+    encode_table_direct(spark, src, scratch, chunk_rows=512, resume=False,
+                        target_rows_per_split=700)
+    decoded = decode_table_direct(spark, scratch)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
+    # column pruning variant
+    only = decode_table_direct(spark, scratch, columns=["url", "lang"])
+    assert sorted(only.columns) == ["lang", "url"]
+    rep2 = verify_roundtrip(original.select("url", "lang"), only, "url").collect()
+    assert all(r["ok"] for r in rep2)
