@@ -133,10 +133,10 @@ def encode_only_main(cores: int, src_path: str, n_parts: int) -> None:
     spark = get_spark(app=f"bench_enc_{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     try:
-        # warm-up run (JIT, Arrow worker spin-up) on a SMALL table so the
-        # warmup doesn't cost a full pass over the scaling payload
-        warm_src = os.environ.get("BENCH_WARM_SRC", src_path)
-        run_encode_direct(spark, warm_src, runs=1)
+        # warm-up on the REAL payload: the first full-size run pays JVM heap
+        # growth + worker memory faulting (measured 2-3x slower than steady
+        # state on this host) and must not be the measured one
+        run_encode_direct(spark, src_path, runs=1)
         res = run_encode_direct(spark, src_path, runs=ENCODE_RUNS)
         print("\n" + json.dumps({"cores": cores, **res}))
     finally:
@@ -232,8 +232,7 @@ def main() -> None:
                 "--src", scale_path, "--n-parts", str(args.n_parts),
             ]
             env = dict(os.environ)
-            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "1")
-            env["BENCH_WARM_SRC"] = web_path
+            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "2")
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
