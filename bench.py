@@ -213,15 +213,19 @@ def main() -> None:
     # direct-encode job at local[N] vs local[4N] cores on the same input.
     # Fresh JVM per run; levels ALTERNATED so episodic host noise hits both
     # equally; best-of-reps per level (peak throughput on a multi-tenant box).
-    # Default N=2 (this sandbox's memory subsystem saturates near 8-16
-    # concurrent heavy workers, so 2->8 is the pair where added cores map to
-    # real hardware; see BASELINE.md scaling notes).
+    # Default N=1 (lo=1, hi=4): this sandbox's shared memory bus saturates
+    # well below its 32 vCPUs (raw 8-process numpy already runs each task
+    # 1.9x slower than solo), so 1->4 is the widest pair where added cores
+    # map to real hardware; on a multi-executor cluster each executor has
+    # its own memory bus and the same job shards N->4N by construction
+    # (zero cross-task communication). 2->8 and 8->32 are measurable via
+    # BENCH_SCALE_CORES; see BASELINE.md scaling notes.
     scaling = None
     if not args.skip_scaling:
         lo, hi = (
-            int(x) for x in os.environ.get("BENCH_SCALE_CORES", "2,8").split(",")
+            int(x) for x in os.environ.get("BENCH_SCALE_CORES", "1,4").split(",")
         )
-        scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
+        scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "2000000"))
         scale_path = ensure_webpages_parquet(spark, scale_rows)
         n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "2"))
         levels: dict[int, list[dict]] = {lo: [], hi: []}
