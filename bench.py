@@ -4,7 +4,7 @@ Default mode: runs the headline queries + the encode/decode pipeline at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``, then evidences the north rule's two-cluster-size
 scaling criterion by re-running the encode stage in fresh subprocesses at
-local[8] and local[32] on the SAME input, reporting throughput at both plus
+local[N] and local[4N] cores (default 1 and 4) on the SAME input, reporting throughput at both plus
 scaling efficiency. Prints ONE JSON line.
 
 Subprocess mode (used internally): ``python bench.py --encode-only --cores N``
