@@ -35,7 +35,7 @@ SHM = "/dev/shm/cfc_bench" if os.path.isdir("/dev/shm") else SCRATCH
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "480000"))
-ENCODE_RUNS = int(os.environ.get("BENCH_ENCODE_RUNS", "3"))
+ENCODE_RUNS = int(os.environ.get("BENCH_ENCODE_RUNS", "2"))
 
 
 def ensure_webpages_parquet(spark, n_rows: int) -> str:
