@@ -207,6 +207,11 @@ def main() -> None:
             qtimes[name] = -1.0
             print(f"query {name} failed: {e}", file=sys.stderr)
 
+    # materialize the scaling payload while the session is still alive
+    scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "2000000"))
+    scale_path = (
+        ensure_webpages_parquet(spark, scale_rows) if not args.skip_scaling else None
+    )
     spark.stop()
 
     # --- scaling: the north rule's N -> 4N criterion, evidenced as the same

@@ -58,16 +58,82 @@ def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
     return [(r["col"], r["ptype"]) for r in rows]
 
 
+_TS_PTYPES = ("timestamp_us", "timestamp_ntz")
+
+
+def _predicate_value(v, ptype: str) -> int:
+    """Normalize a predicate literal to the engine's int64 domain."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    return int(v)
+
+
+def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
+    """(part_id, chunk_id) keys whose zone-map stats MIGHT satisfy all
+    predicates — a metadata-only query (payload column never read). Chunks
+    without stats are kept (can't prune what wasn't measured)."""
+    keys = blocks.select("part_id", "chunk_id").distinct()
+    for col, op, value in predicates:
+        stats = blocks.filter(F.col("col") == col).select(
+            "part_id", "chunk_id", "vmin", "vmax", "ptype"
+        )
+        ptype = stats.select("ptype").first()["ptype"]
+        v = _predicate_value(value, ptype)
+        if op in (">=", ">"):
+            keep = F.col("vmax").isNull() | (F.col("vmax") >= v)
+        elif op in ("<=", "<"):
+            keep = F.col("vmin").isNull() | (F.col("vmin") <= v)
+        elif op in ("==", "="):
+            keep = (
+                F.col("vmin").isNull()
+                | ((F.col("vmin") <= v) & (F.col("vmax") >= v))
+            )
+        else:
+            raise ValueError(f"unsupported predicate op: {op}")
+        keys = keys.join(
+            stats.filter(keep).select("part_id", "chunk_id"),
+            ["part_id", "chunk_id"],
+            "left_semi",
+        )
+    return keys
+
+
+def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
+    for col, op, value in predicates:
+        if ptypes.get(col) in _TS_PTYPES:
+            c = F.unix_micros(F.col(col).cast("timestamp"))
+            value = _predicate_value(value, ptypes[col])
+        else:
+            c = F.col(col)
+        df = df.filter(
+            {"<": c < value, "<=": c <= value, ">": c > value,
+             ">=": c >= value, "==": c == value, "=": c == value}[op]
+        )
+    return df
+
+
 def decode_table(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
     keep_part_id: bool = False,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
+    """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
+    in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
+    payload is read (the encoded format's analog of parquet predicate
+    pushdown), then apply the exact filter to the decoded rows."""
     blocks = blocks_of(spark, out_dir)
     cols = table_columns(blocks)
+    if predicates:
+        keys = qualifying_chunks(blocks, predicates)
+        blocks = blocks.join(keys, ["part_id", "chunk_id"], "left_semi")
     if columns is not None:
-        want = set(columns)
+        want = set(columns) | {c for c, _, _ in (predicates or [])}
         cols = [(c, p) for c, p in cols if c in want]
         blocks = blocks.filter(F.col("col").isin(list(want)))
 
@@ -107,6 +173,11 @@ def decode_table(
             out[c] = by_col[c]
         return pa.table(out, schema=arrow_schema)
 
-    return (
+    decoded = (
         blocks.groupBy("part_id", "chunk_id").applyInArrow(decode_chunk, out_schema)
     )
+    if predicates:
+        decoded = _exact_filter(decoded, predicates, dict(cols))
+        if columns is not None:
+            decoded = decoded.select(*[c for c, _ in cols if c in set(columns)])
+    return decoded

@@ -48,6 +48,10 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
         T.StructField("params", T.StringType(), False),
+        # zone-map stats (numeric/timestamp columns; null otherwise): enable
+        # chunk pruning on the ENCODED table without touching payloads
+        T.StructField("vmin", T.LongType(), True),
+        T.StructField("vmax", T.LongType(), True),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -65,6 +69,8 @@ _BLOCKS_ARROW = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("params", pa.string()),
+        ("vmin", pa.int64()),
+        ("vmax", pa.int64()),
         ("payload", pa.large_binary()),
     ]
 )
@@ -81,6 +87,15 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
             arr, ptype, overrides.get(name)
         )
+        vmin = vmax = None
+        if ptype in ("int64", "int32", "timestamp_us", "timestamp_ntz", "date32"):
+            if n > n_nulls:
+                nn = arr.drop_null() if n_nulls else arr
+                np_vals = nn.to_numpy(zero_copy_only=False)
+                if np_vals.dtype.kind == "M":
+                    np_vals = np_vals.view("i8")
+                vmin = int(np_vals.min())
+                vmax = int(np_vals.max())
         cols["part_id"].append(part_id)
         cols["chunk_id"].append(chunk_id)
         cols["col"].append(name)
@@ -92,6 +107,8 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         cols["raw_bytes"].append(raw)
         cols["enc_bytes"].append(len(payload))
         cols["params"].append(params_json)
+        cols["vmin"].append(vmin)
+        cols["vmax"].append(vmax)
         cols["payload"].append(payload)
         if acc is not None:
             acc["raw_bytes"].add(raw)

@@ -137,3 +137,39 @@ def test_testdata_embeddings_roundtrip(spark, scratch):
     decoded = decode_table(spark, scratch)
     rep = verify_roundtrip(emb, decoded, "url").collect()
     assert all(r["ok"] for r in rep), rep
+
+
+def test_zone_map_predicate_pruning(spark, webpages, scratch):
+    from datetime import datetime
+
+    from cuda_float_compress_spark.operators.decode import (
+        blocks_of,
+        qualifying_chunks,
+    )
+
+    encode_table(spark, webpages, scratch, n_parts=4, chunk_rows=256,
+                 resume=False, sort_keys=["warc_ts"])
+    cutoff = datetime(2024, 8, 7, 0, 45, 0)
+    decoded = decode_table(spark, scratch, predicates=[("warc_ts", ">=", cutoff)])
+    expected = webpages.filter(F.col("warc_ts") >= F.lit(cutoff))
+    assert decoded.count() == expected.count()
+    rep = verify_roundtrip(expected, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+    # pruning actually skipped chunks (sorted by ts within parts -> tight
+    # zone maps)
+    blocks = blocks_of(spark, scratch)
+    total = blocks.select("part_id", "chunk_id").distinct().count()
+    kept = qualifying_chunks(blocks, [("warc_ts", ">=", cutoff)]).count()
+    assert kept < total, (kept, total)
+
+
+def test_zone_map_equality_and_column_subset(spark, webpages, scratch):
+    encode_table(spark, webpages, scratch, n_parts=4, resume=False)
+    row = webpages.select(F.unix_micros("warc_ts").alias("us")).orderBy("us").collect()[100]
+    decoded = decode_table(
+        spark, scratch, columns=["url", "text"],
+        predicates=[("warc_ts", "==", row["us"])],
+    )
+    out = decoded.collect()
+    assert len(out) >= 1
+    assert sorted(decoded.columns) == ["text", "url"]
