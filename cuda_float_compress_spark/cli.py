@@ -48,8 +48,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from cuda_float_compress_spark.session import get_spark
 
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app=f"cfc_{args.cmd}", cores=args.cores)
     try:
         if args.cmd == "encode":
@@ -93,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         return 0
     finally:
-        spark.stop()
+        if not pre_existing:  # don't tear down a session we merely joined
+            spark.stop()
 
 
 if __name__ == "__main__":

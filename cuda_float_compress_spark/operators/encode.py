@@ -158,13 +158,20 @@ def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None):
                             yield rb
                         chunk_counter = 0
                     cur_part = pid
-                    buf.append(piece)
-                    buf_rows += piece.num_rows
-                    buf_bytes += piece.nbytes
-                    if buf_rows >= chunk_rows or buf_bytes >= chunk_bytes:
-                        rb = flush()
-                        if rb is not None:
-                            yield rb
+                    # sub-slice so a chunk never exceeds chunk_rows even when
+                    # an Arrow batch piece is larger than the chunk budget
+                    off = 0
+                    while off < piece.num_rows:
+                        take = min(piece.num_rows - off, chunk_rows - buf_rows)
+                        part_slice = piece.slice(off, take)
+                        buf.append(part_slice)
+                        buf_rows += part_slice.num_rows
+                        buf_bytes += part_slice.nbytes
+                        off += take
+                        if buf_rows >= chunk_rows or buf_bytes >= chunk_bytes:
+                            rb = flush()
+                            if rb is not None:
+                                yield rb
                     start = i
         rb = flush()
         if rb is not None:
