@@ -208,7 +208,7 @@ def main() -> None:
             print(f"query {name} failed: {e}", file=sys.stderr)
 
     # materialize the scaling payload while the session is still alive
-    scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "2000000"))
+    scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
     scale_path = (
         ensure_webpages_parquet(spark, scale_rows) if not args.skip_scaling else None
     )
@@ -230,9 +230,9 @@ def main() -> None:
         lo, hi = (
             int(x) for x in os.environ.get("BENCH_SCALE_CORES", "1,4").split(",")
         )
-        scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "2000000"))
+        scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
         scale_path = ensure_webpages_parquet(spark, scale_rows)
-        n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "2"))
+        n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "1"))
         levels: dict[int, list[dict]] = {lo: [], hi: []}
         for cores in (lo, hi) * n_pairs:
             cmd = [
