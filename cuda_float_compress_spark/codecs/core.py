@@ -288,6 +288,29 @@ def int_dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     return uniq[codes]
 
 
+def int_dod_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Delta-of-delta (Gorilla-style, public algorithm): second differences
+    of near-regularly-spaced values (crawl timestamps) are near-zero, so the
+    bit-plane pack collapses. Exact inverse via double cumsum."""
+    v = v.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return b"", {"first": 0, "d_first": 0, "width": 0}
+    first, d = delta_encode(v)
+    d_first, dd = delta_encode(d)
+    z = zigzag_encode(dd)
+    body, w = _enc_uints(z)
+    return body, {"first": first, "d_first": d_first, "width": w}
+
+
+def int_dod_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    z = _dec_uints(payload, int(params["width"]), n)
+    dd = zigzag_decode(z)
+    d = delta_decode(int(params["d_first"]), dd)
+    return delta_decode(int(params["first"]), d)
+
+
 def int_patched_encode(v: np.ndarray) -> tuple[bytes, dict]:
     """Patched frame-of-reference (FastPFor-style): pack everything at the
     99th-percentile width; outliers keep their low bits in place and park
@@ -351,6 +374,7 @@ INT_CODECS = {
     "int_rle": (int_rle_encode, int_rle_decode),
     "int_dict": (int_dict_encode, int_dict_decode),
     "int_patched": (int_patched_encode, int_patched_decode),
+    "int_dod": (int_dod_encode, int_dod_decode),
 }
 
 

@@ -32,7 +32,7 @@ def select_int_codec(v: np.ndarray, candidates: list[str] | None = None) -> str:
     n = len(v)
     if n == 0:
         return "int_raw"
-    cands = list(candidates) if candidates else ["int_for", "int_delta"]
+    cands = list(candidates) if candidates else ["int_for", "int_delta", "int_dod"]
     if candidates is None:
         # stats pruning: RLE only pays off with long runs; DICT with low card.
         sample = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]

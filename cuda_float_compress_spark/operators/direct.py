@@ -37,7 +37,8 @@ SPLITS_SCHEMA = "part_id int, file string, rg_start int, rg_end int"
 
 
 def decode_table_direct(spark: SparkSession, out_dir: str,
-                        columns: list[str] | None = None):
+                        columns: list[str] | None = None,
+                        predicates: list[tuple] | None = None):
     """Shuffle-free decode: every encode task wrote whole chunks to its own
     blocks file, so chunks never span files — each decode task reads one
     blocks file with pyarrow and reconstructs its chunks locally. The
@@ -53,10 +54,22 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         table_columns,
     )
 
+    from cuda_float_compress_spark.operators.decode import (
+        _exact_filter,
+        qualifying_chunks,
+    )
+
     blocks = blocks_of(spark, out_dir)
     cols = table_columns(blocks)
+    all_ptypes = dict(cols)
+    keep_keys: set[int] | None = None
+    if predicates:
+        # zone-map pruning, metadata-only; key set is manifest-scale (one
+        # entry per surviving chunk) and ships to tasks via the closure
+        keys = qualifying_chunks(blocks, predicates).collect()
+        keep_keys = {(r["part_id"] << 32) | r["chunk_id"] for r in keys}
     if columns is not None:
-        want = set(columns)
+        want = set(columns) | {c for c, _, _ in (predicates or [])}
         cols = [(c, p) for c, p in cols if c in want]
     col_ptypes = dict(cols)
     want_cols = [c for c, _ in cols]
@@ -89,6 +102,8 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                 for i in range(len(keys)):
                     if names[i] not in col_ptypes:
                         continue
+                    if keep_keys is not None and int(keys[i]) not in keep_keys:
+                        continue
                     by_chunk.setdefault(int(keys[i]), {})[names[i]] = i
                 for _, colmap in sorted(by_chunk.items()):
                     out = {}
@@ -105,7 +120,12 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         {c: out[c] for c in want_cols}, schema=arrow_schema
                     ).to_batches(max_chunksize=1 << 30)[0]
 
-    return files_df.mapInArrow(decode_file, schema=out_schema)
+    decoded = files_df.mapInArrow(decode_file, schema=out_schema)
+    if predicates:
+        decoded = _exact_filter(decoded, predicates, all_ptypes)
+        if columns is not None:
+            decoded = decoded.select(*[c for c in want_cols if c in set(columns)])
+    return decoded
 
 
 def plan_splits(input_dir: str, target_rows_per_split: int = 131_072) -> list[tuple]:

@@ -110,3 +110,25 @@ def test_direct_decode_bit_identical(spark, tmp_path, scratch):
     assert sorted(only.columns) == ["lang", "url"]
     rep2 = verify_roundtrip(original.select("url", "lang"), only, "url").collect()
     assert all(r["ok"] for r in rep2)
+
+
+def test_direct_decode_with_predicates(spark, tmp_path, scratch):
+    from datetime import datetime
+
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+
+    src = str(tmp_path / "src3")
+    df = generate_webpages_df(spark, 2000, partitions=2)
+    df.write.parquet(src)
+    encode_table_direct(spark, src, scratch, chunk_rows=256, resume=False,
+                        target_rows_per_split=1000)
+    cutoff = datetime(2024, 8, 7, 0, 30, 0)
+    decoded = decode_table_direct(
+        spark, scratch, columns=["url", "text"],
+        predicates=[("warc_ts", ">=", cutoff)],
+    )
+    original = spark.read.parquet(src)
+    import pyspark.sql.functions as F
+    expected = original.filter(F.col("warc_ts") >= F.lit(cutoff)).select("url", "text")
+    assert decoded.count() == expected.count()
+    assert sorted(decoded.columns) == ["text", "url"]
