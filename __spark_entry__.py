@@ -403,6 +403,26 @@ def _order_priority_histogram(spark, sf_dir):
     )
 
 
+def _jaccard_consecutive_docs(spark, sf_dir):
+    """Exact 5-shingle Jaccard on consecutive doc pairs — DuckDB-verifiable
+    twin of the n-gram-Jaccard dedup verifier."""
+    from cuda_float_compress_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = ids.withColumn("id_b", F.col("id_a") + 1).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return ngram_jaccard_pairs(docs, cands, "doc_id", shingle_k=5)
+
+
+def _lang_id_pred(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -417,10 +437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "sessionize_users": _sessionize_users,
         "exact_dedup_docs": _exact_dedup_docs,
+        "jaccard_consecutive_docs": _jaccard_consecutive_docs,
         "dup_text_groups": _dup_text_groups,
         "token_counts": _token_counts,
         "quality_scores": _quality_scores,
         "doc_fingerprints": _doc_fingerprints,
+        "lang_id_pred": _lang_id_pred,
         "embedding_topk": _embedding_topk,
         "minhash_dedup_pairs": _minhash_dedup_pairs,
         "simhash_pairs": _simhash_pairs,
@@ -564,6 +586,40 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id,
                    count(*) AS group_size
             FROM documents GROUP BY md5(text)
+        """,
+        "lang_id_pred": """
+            WITH scores AS (
+                SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))      AS s_en,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b'))   AS s_de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|les|est|avec)\\b'))    AS s_fr,
+                   len(regexp_extract_all(lower(text), '\\b(el|los|es|para|con)\\b'))    AS s_es,
+                   len(regexp_extract_all(lower(text), '\\b(\u0438|\u043d\u0435|\u043d\u0430|\u0447\u0442\u043e|\u044d\u0442\u043e)\\b')) AS s_ru,
+                   len(regexp_extract_all(lower(text), '\\b(o|que|do|da|em)\\b'))        AS s_pt
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'en'
+                        WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'de'
+                        WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'fr'
+                        WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'es'
+                        WHEN s_ru = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'ru'
+                        ELSE 'pt' END AS lang_pred
+            FROM scores
+        """,
+        "jaccard_consecutive_docs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([substring(text, i, 5)
+                                      for i in range(1, greatest(length(text) - 3, 2))]) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "dup_text_groups": """
             SELECT md5(text) AS text_md5,
