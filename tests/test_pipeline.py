@@ -173,3 +173,27 @@ def test_zone_map_equality_and_column_subset(spark, webpages, scratch):
     out = decoded.collect()
     assert len(out) >= 1
     assert sorted(decoded.columns) == ["text", "url"]
+
+
+def test_corrupt_block_fails_loudly(spark, webpages, scratch):
+    # tamper with one payload on disk -> decode of that chunk must raise,
+    # not silently return wrong data (reference: bad-magic/size checks,
+    # src/cuszplus_f32.cu:582-636)
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    encode_table(spark, webpages, scratch, n_parts=2, resume=False)
+    f = next(
+        p for p in sorted(glob.glob(f"{scratch}/blocks/*.parquet"))
+        if pq.ParquetFile(p).metadata.num_rows > 0
+    )
+    t = pq.read_table(f)
+    payloads = t.column("payload").to_pylist()
+    payloads[0] = payloads[0][: max(1, len(payloads[0]) // 2)]  # truncate
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["payload"] = pa.array(payloads, type=pa.large_binary())
+    pq.write_table(pa.table(cols), f)
+    with pytest.raises(Exception):
+        decode_table(spark, scratch).count()
