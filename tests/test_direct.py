@@ -132,3 +132,32 @@ def test_direct_decode_with_predicates(spark, tmp_path, scratch):
     expected = original.filter(F.col("warc_ts") >= F.lit(cutoff)).select("url", "text")
     assert decoded.count() == expected.count()
     assert sorted(decoded.columns) == ["text", "url"]
+
+
+def test_reencode_single_column(spark, tmp_path):
+    from cuda_float_compress_spark.operators.maintain import (
+        codec_histogram,
+        reencode_columns,
+    )
+
+    src = str(tmp_path / "re_src")
+    enc1 = str(tmp_path / "re_enc1")
+    enc2 = str(tmp_path / "re_enc2")
+    df = generate_webpages_df(spark, 1500, partitions=2)
+    df.write.parquet(src)
+    encode_table_direct(spark, src, enc1, resume=False, target_rows_per_split=600)
+    stats = reencode_columns(spark, enc1, enc2, {"lang": "bytes_rle"})
+    hist = {(r["col"], r["codec"]) for r in codec_histogram(spark, enc2).collect()}
+    assert ("lang", "bytes_rle") in hist
+    # untouched columns kept their payloads bit-identical
+    import pyspark.sql.functions as F
+    a = spark.read.parquet(f"{enc1}/blocks").filter(F.col("col") != "lang") \
+        .select("part_id", "chunk_id", "col", F.md5(F.base64("payload")).alias("h"))
+    b = spark.read.parquet(f"{enc2}/blocks").filter(F.col("col") != "lang") \
+        .select("part_id", "chunk_id", "col", F.md5(F.base64("payload")).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the table still decodes bit-identical
+    decoded = decode_table(spark, enc2)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
