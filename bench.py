@@ -65,6 +65,7 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
             spark, df, out, n_parts=n_parts, resume=False, detect_skew=True
         )
         times.append(time.perf_counter() - t0)
+        stages = {k: round(v, 3) for k, v in stats["timings_sec"].items()}
         shutil.rmtree(out, ignore_errors=True)
     sec = statistics.median(times)
     return {
@@ -75,6 +76,7 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
         "sec": round(sec, 3),
         "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
         "runs": runs,
+        "stages_sec": stages,
     }
 
 
@@ -112,6 +114,7 @@ def run_encode_direct(spark, src_path: str, runs: int = 1,
             target_rows_per_split=target_rows_per_split,
         )
         times.append(time.perf_counter() - t0)
+        stages = {k: round(v, 3) for k, v in stats["timings_sec"].items()}
         shutil.rmtree(out, ignore_errors=True)
     sec = statistics.median(times)
     return {
@@ -122,6 +125,7 @@ def run_encode_direct(spark, src_path: str, runs: int = 1,
         "sec": round(sec, 3),
         "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
         "runs": runs,
+        "stages_sec": stages,
     }
 
 

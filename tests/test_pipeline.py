@@ -197,3 +197,15 @@ def test_corrupt_block_fails_loudly(spark, webpages, scratch):
     pq.write_table(pa.table(cols), f)
     with pytest.raises(Exception):
         decode_table(spark, scratch).count()
+
+
+def test_decoded_bytes_invariant_to_chunking(spark, webpages, tmp_path):
+    # compressed bytes differ with chunk boundaries; DECODED data must not
+    # (determinism requirement from SURVEY §7.4b)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    encode_table(spark, webpages, a_dir, n_parts=4, chunk_rows=300, resume=False)
+    encode_table(spark, webpages, b_dir, n_parts=2, chunk_rows=2048, resume=False)
+    a = decode_table(spark, a_dir)
+    b = decode_table(spark, b_dir)
+    rep = verify_roundtrip(a, b, "url").collect()
+    assert all(r["ok"] for r in rep)
