@@ -454,6 +454,36 @@ def fsst_train(sample: bytes) -> list[bytes]:
     return symbols
 
 
+
+
+def _parse_chain_segmented(nxt: np.ndarray, n: int, seg: int = 1 << 13) -> np.ndarray:
+    """Positions of the chain 0 -> nxt[0] -> nxt[nxt[0]] -> ... (< n),
+    extracted per 64K-position segment with pointer doubling. Invariant per
+    round: path holds the first 2^k chain positions of the segment (all
+    distinct, ascending) and jump advances 2^k tokens, so jump[path] is
+    exactly the next block of the chain — no dedup or sort needed."""
+    chunks = []
+    pos = 0
+    while pos < n:
+        length = min(seg, n - pos)
+        local = nxt[pos : pos + length] - pos
+        jump = np.minimum(np.append(local, length), length)  # sentinel = length
+        path = np.array([0], dtype=np.int64)
+        while True:
+            stepped = jump[path]
+            new = stepped[stepped < length]
+            if len(new) == 0:
+                break
+            path = np.concatenate([path, new])
+            jump = jump[jump]  # squaring: now advances twice as many tokens
+        chunks.append(path + pos)
+        # the chain leaves this segment from its last in-segment position
+        pos = int(nxt[pos + path[-1]])
+    return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+
+
+
+
 def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
     """Vectorized greedy longest-match FSST encode.
 
@@ -503,23 +533,11 @@ def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
             match_code[cand] = codes[idx]
 
     # greedy parse: next[i] = i + max(match_len[i], 1); the parse positions
-    # are the chain from 0 under next[]. Extract via pointer doubling:
-    # after k squarings jump[] advances 2^k tokens, and R ∪ jump[R] over
-    # k = 0..log2(n) enumerates every position on the chain.
+    # are the chain from 0 under next[], extracted segment-locally with
+    # pointer doubling (cache-resident gathers; see _parse_chain_segmented).
     step = np.maximum(match_len, 1)
-    nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
-    jump = np.append(nxt, n)  # sentinel: position n maps to itself
-    # invariant: after k rounds, path holds token-indices < 2^k (all distinct)
-    # and jump advances 2^k tokens — so jump[path] is exactly the next block
-    # of the chain; no dedup needed.
-    path = np.array([0], dtype=np.int64)
-    while True:
-        stepped = jump[path]
-        new = stepped[stepped < n]
-        if len(new) == 0:
-            break
-        path = np.concatenate([path, new])
-        jump = jump[jump]  # squaring: now advances twice as many tokens
+    nxt = np.arange(n, dtype=np.int64) + step
+    path = _parse_chain_segmented(nxt, n)
     tok_len = match_len[path]
     is_sym = tok_len > 0
     out_sizes = np.where(is_sym, 1, 2)
