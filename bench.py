@@ -236,7 +236,7 @@ def main() -> None:
         )
         scale_rows = int(os.environ.get("BENCH_SCALING_ROWS", "4000000"))
         scale_path = ensure_webpages_parquet(spark, scale_rows)
-        n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "1"))
+        n_pairs = int(os.environ.get("BENCH_SCALE_PAIRS", "2"))
         levels: dict[int, list[dict]] = {lo: [], hi: []}
         for cores in (lo, hi) * n_pairs:
             cmd = [
@@ -245,7 +245,7 @@ def main() -> None:
                 "--src", scale_path, "--n-parts", str(args.n_parts),
             ]
             env = dict(os.environ)
-            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "2")
+            env["BENCH_ENCODE_RUNS"] = os.environ.get("BENCH_SCALING_RUNS", "1")
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
