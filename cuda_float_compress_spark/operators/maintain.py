@@ -105,3 +105,113 @@ def codec_histogram(spark: SparkSession, out_dir: str):
         .count()
         .orderBy("col", "codec")
     )
+
+
+def compact(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    chunk_rows: int = 32_768,
+    chunk_bytes: int = 1 << 24,
+    run_id: str | None = None,
+) -> dict:
+    """Re-chunk an encoded dir: streaming ingest leaves many small tail
+    chunks (one per micro-batch per part); compaction decodes per part and
+    re-encodes at the target chunk size. Parts stay independent — the job is
+    a per-(part) applyInArrow with no cross-part shuffle of decoded data.
+
+    Returns {'chunks_before', 'chunks_after', ...}."""
+    from cuda_float_compress_spark.operators.decode import blocks_of, table_columns
+    from cuda_float_compress_spark.operators.encode import _encode_chunk_to_rows
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    blocks = blocks_of(spark, src_dir)
+    chunks_before = blocks.select("part_id", "chunk_id").distinct().count()
+    cols = table_columns(blocks)
+    col_ptypes = dict(cols)
+    ordered = [c for c, _ in cols]
+
+    def recompact(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_id = key[0].as_py() if hasattr(key[0], 'as_py') else int(key[0])
+        # group incoming block rows by old chunk, decode, concat per column
+        names = tbl.column("col").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        params = tbl.column("params").to_pylist()
+        ns = tbl.column("n").to_pylist()
+        nnulls = tbl.column("n_nulls").to_pylist()
+        chunk_ids = tbl.column("chunk_id").to_pylist()
+        payloads = tbl.column("payload")
+        per_chunk: dict[int, dict] = {}
+        for i in range(len(names)):
+            per_chunk.setdefault(chunk_ids[i], {})[names[i]] = i
+        col_arrays: dict[str, list] = {c: [] for c in ordered}
+        for cid in sorted(per_chunk):
+            for c in ordered:
+                i = per_chunk[cid][c]
+                col_arrays[c].append(
+                    C.decode_column_chunk(
+                        payloads[i].as_py(), codecs[i], params[i],
+                        int(ns[i]), int(nnulls[i]), col_ptypes[c],
+                    )
+                )
+        full = pa.table(
+            {c: pa.concat_arrays([a.cast(a.type) for a in col_arrays[c]])
+             for c in ordered}
+        )
+        # re-chunk at the target size and re-encode
+        out_batches = []
+        off = 0
+        cid = 0
+        while off < full.num_rows:
+            piece = full.slice(off, chunk_rows)
+            out_batches.append(
+                _encode_chunk_to_rows(piece, part_id, cid, {}, None)
+            )
+            off += piece.num_rows
+            cid += 1
+        if not out_batches:
+            result = pa.Table.from_batches([], schema=_BLOCKS_ARROW)
+        else:
+            result = pa.Table.from_batches(out_batches)
+        # applyInArrow enforces binary (not large_binary) for BinaryType
+        idx = result.schema.get_field_index("payload")
+        return result.set_column(
+            idx, "payload", result.column("payload").cast(pa.binary())
+        )
+
+    new_blocks = blocks.groupBy("part_id").applyInArrow(recompact, BLOCKS_SCHEMA)
+    new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
+    written = spark.read.parquet(f"{dst_dir}/blocks")
+    manifest = (
+        written.groupBy("part_id", "col", "col_idx", "ptype")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n").alias("n_values"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sort_array(F.collect_set("codec")).alias("codecs"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    manifest.write.mode("overwrite").parquet(f"{dst_dir}/manifest")
+    lineage = (
+        manifest.groupBy("part_id")
+        .agg(
+            F.max("n_chunks").alias("n_chunks"),
+            F.max("n_values").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("finished_at", F.lit(time.time()))
+        .withColumn("salts_json", F.lit(json.dumps({})))
+    )
+    lineage.write.mode("overwrite").parquet(f"{dst_dir}/lineage")
+    chunks_after = written.select("part_id", "chunk_id").distinct().count()
+    return {
+        "run_id": run_id,
+        "chunks_before": chunks_before,
+        "chunks_after": chunks_after,
+    }

@@ -161,3 +161,22 @@ def test_reencode_single_column(spark, tmp_path):
     original = spark.read.parquet(src)
     rep = verify_roundtrip(original, decoded, "url").collect()
     assert all(r["ok"] for r in rep)
+
+
+def test_compact_merges_stream_chunks(spark, tmp_path):
+    from cuda_float_compress_spark.operators.maintain import compact
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "c_src")
+    enc = str(tmp_path / "c_enc")
+    packed = str(tmp_path / "c_packed")
+    df = generate_webpages_df(spark, 1200, partitions=2)
+    df.write.parquet(src)
+    # streaming ingest -> many small chunks across epochs/parts
+    encode_stream(spark, src, enc, n_parts=4)
+    stats = compact(spark, enc, packed, chunk_rows=32768)
+    assert stats["chunks_after"] <= stats["chunks_before"]
+    decoded = decode_table(spark, packed)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
