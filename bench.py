@@ -82,6 +82,7 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
 
 def run_decode(spark, src_path: str, n_parts: int) -> dict:
     from cuda_float_compress_spark.operators.decode import decode_table
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
     from cuda_float_compress_spark.operators.encode import encode_table
 
     df = spark.read.parquet(src_path)
@@ -91,10 +92,16 @@ def run_decode(spark, src_path: str, n_parts: int) -> dict:
         t0 = time.perf_counter()
         n = decode_table(spark, out).count()
         sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n2 = decode_table_direct(spark, out).count()
+        sec_direct = time.perf_counter() - t0
+        assert n == n2
         return {
             "rows": n,
             "sec": round(sec, 3),
             "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
+            "direct_sec": round(sec_direct, 3),
+            "direct_gb_per_sec": round(stats["raw_bytes"] / sec_direct / 1e9, 4),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
