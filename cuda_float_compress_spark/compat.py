@@ -57,17 +57,55 @@ def cuszplus_compress(values, max_error: float = 1e-4) -> bytes:
         v = v.reshape(-1)  # reference flattens via .contiguous() semantics
     if v.dtype != np.float32:
         raise TypeError("Input tensor must be float32")  # cuda_float_compress.cpp:15-17
-    payload, params = core.float_quantize_encode(v, max_error)
-    return _pack(1, len(v), 2.0 * max_error, params, payload)
+    payloads, chunk_params = _encode_chunked(
+        v, lambda c: core.float_quantize_encode(c, max_error)
+    )
+    params = {"chunk": _CHUNK, "parts": chunk_params}
+    return _pack(1, len(v), 2.0 * max_error, params, pack_chunks(payloads))
+
+
+# processing block: bounds the bitpack bit-matrix working set (the engine's
+# 32k chunks scaled up for single-array throughput; reference blocks are
+# 32768 floats, src/cuszplus_f32.cu:21-28)
+_CHUNK = 1 << 21
+
+
+def _encode_chunked(v: np.ndarray, enc) -> tuple[list[bytes], list[dict]]:
+    payloads, params = [], []
+    for off in range(0, max(len(v), 1), _CHUNK):
+        chunk = v[off : off + _CHUNK]
+        p, prm = enc(chunk)
+        payloads.append(p)
+        params.append(prm)
+    return payloads, params
+
+
+def pack_chunks(payloads: list[bytes]) -> bytes:
+    return core.pack_sections(*payloads)
+
+
+def _decode_chunked(payload: bytes, params: dict, n: int, dec) -> np.ndarray:
+    sections = core.unpack_sections(payload)
+    parts = params["parts"]
+    chunk = int(params["chunk"])
+    out = []
+    for i, (sec, prm) in enumerate(zip(sections, parts)):
+        m = min(chunk, n - i * chunk)
+        out.append(dec(sec, prm, m))
+    return np.concatenate(out) if out else dec(b"", parts[0] if parts else {}, 0)
 
 
 def cuszplus_decompress(data: bytes):
     """Inverse of cuszplus_compress -> 1-D float32 numpy array."""
     kind, n, _eps, params, payload = _unpack(bytes(data))
     if kind == 1:
-        return core.float_quantize_decode(payload, params, n).astype(np.float32)
+        return _decode_chunked(
+            payload, params, n, core.float_quantize_decode
+        ).astype(np.float32)
     if kind == 2:
-        return core.int_delta_decode(payload, params, n).astype(np.int32)
+        return _decode_chunked(
+            payload, params, n, core.int_delta_decode
+        ).astype(np.int32)
     if kind == 3:
         return core.float_byteplane_decode(payload, params, n)
     raise ValueError(f"unknown payload kind {kind}")
@@ -77,8 +115,11 @@ def compress_int32(values) -> bytes:
     """Exact lossless int32 path (reference CPU harness:
     cpu_compress_test.cpp:109-114)."""
     v = np.ascontiguousarray(values, dtype=np.int32).reshape(-1)
-    payload, params = core.int_delta_encode(v.astype(np.int64))
-    return _pack(2, len(v), 0.0, params, payload)
+    payloads, chunk_params = _encode_chunked(
+        v.astype(np.int64), core.int_delta_encode
+    )
+    params = {"chunk": _CHUNK, "parts": chunk_params}
+    return _pack(2, len(v), 0.0, params, pack_chunks(payloads))
 
 
 def decompress_int32(data: bytes) -> np.ndarray:
