@@ -90,12 +90,19 @@ def unpack_sections(buf: bytes) -> list[bytes]:
 def zigzag_encode(v: np.ndarray) -> np.ndarray:
     """int64 -> uint64, sign to LSB so small magnitudes become small uints."""
     v = v.astype(np.int64, copy=False)
-    return ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+    out = v << np.int64(1)
+    sign = v >> np.int64(63)
+    out ^= sign
+    return out.view(np.uint64)
 
 
 def zigzag_decode(z: np.ndarray) -> np.ndarray:
     z = z.astype(np.uint64, copy=False)
-    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(np.int64)
+    out = z >> np.uint64(1)
+    sign = z & np.uint64(1)
+    np.subtract(np.uint64(0), sign, out=sign)
+    out ^= sign
+    return out.view(np.int64)
 
 
 def delta_encode(v: np.ndarray) -> tuple[int, np.ndarray]:
