@@ -25,6 +25,24 @@ from pyspark.sql import Window as W
 SCRATCH = "/root/repo/.scratch"
 
 
+def _minhash_perm_sql() -> str:
+    """The 16 xor-permutation minhash components as SQL expressions, with the
+    same K_i = hash60("minhash-perm-i") constants the Spark operator embeds
+    (cuda_float_compress_spark/operators/dedup.py: minhash_signature)."""
+    import hashlib
+
+    ks = [
+        int(hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()[:15], 16)
+        for i in range(16)
+    ]
+    return ", ".join(
+        f"list_min(list_transform(hv, h -> xor(h, {k}::BIGINT)))" for k in ks
+    )
+
+
+_MINHASH_PERM_SQL = _minhash_perm_sql()
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -278,6 +296,9 @@ def _embedding_topk(spark, sf_dir):
 
 
 def _minhash_dedup_pairs(spark, sf_dir):
+    """MinHash-LSH candidates (portable md5-60bit signatures, capped buckets)
+    verified with exact shingle Jaccard — the oracle recomputes the identical
+    signatures, band keys, bucket caps, and Jaccard in SQL."""
     from cuda_float_compress_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -285,6 +306,8 @@ def _minhash_dedup_pairs(spark, sf_dir):
 
 
 def _simhash_pairs(spark, sf_dir):
+    """60-bit SimHash near-dup pairs (15-bit block LSH, capped buckets) —
+    signature and blocking reproduced exactly by the SQL oracle."""
     from cuda_float_compress_spark.operators.dedup import simhash_near_dups
 
     docs = _read(spark, sf_dir, "documents")
@@ -296,15 +319,29 @@ def _ann_lsh_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ann_lsh_topk(emb, list(qv), k=10, n_planes=6)
+    return ann_lsh_topk(emb, list(qv), k=10, n_planes=6).select(
+        "vec_id", F.round("cosine", 3).alias("cos3")
+    )
 
 
 def _media_features(spark, sf_dir):
+    """Media plumbing over a deterministic binary column: real format magics
+    (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
+    Arrow-batched mapInPandas extractor; the oracle predicts type+size in SQL."""
     from cuda_float_compress_spark.operators.multimodal import extract_media_features
-    from cuda_float_compress_spark.table import generate_webpages_df
 
-    web = generate_webpages_df(spark, 500, partitions=4)
-    return extract_media_features(web, "url", "html").select(
+    docs = _read(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("52494646")))
+        .otherwise(F.unhex(F.lit("00")))
+    )
+    web = docs.select(
+        F.concat(F.lit("doc://d/"), F.col("doc_id")).alias("url"),
+        F.concat(magic, F.encode("text", "utf-8")).alias("payload"),
+    )
+    return extract_media_features(web, "url", "payload").select(
         "url", "media_type", "n_bytes"
     )
 
@@ -557,7 +594,8 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
                 SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000
                             THEN 1 ELSE 0 END AS is_new
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -577,7 +615,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    count(*) AS n_sessions,
-                   sum(n_events) AS n_events,
+                   sum(n_events)::BIGINT AS n_events,
                    max(epoch_us(session_end)) AS last_end_us
             FROM per_session GROUP BY user_id
         """,
@@ -713,7 +751,149 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY o_orderpriority
         """,
-        # minhash_dedup_pairs / simhash_pairs / ann_lsh_topk / media_features:
-        # intentionally omitted — LSH bucketing & mapInPandas feature extraction
-        # aren't SQL-expressible; the driver records rows-only checks for them.
+        # The four LSH/media oracles below replicate the engine's EXACT
+        # pipeline in SQL: the same portable 60-bit md5 hash
+        # (('0x'||substr(md5(s),1,15))::BIGINT == Spark
+        # conv(substr(md5(s),1,15),16,10)), the same xor-permutation minhash,
+        # band keys, deterministic bucket caps, and integer hyperplane
+        # projections — so hash_match covers signature + bucketing + verify.
+        "minhash_dedup_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([substring(text, i, 5)
+                                      for i in range(1, greatest(length(text) - 3, 2))]) AS s
+                FROM documents
+            ),
+            hs AS (
+                SELECT doc_id, s,
+                       list_transform(s, x -> ('0x' || substr(md5(x),1,15))::BIGINT) AS hv
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, s,
+                       [{_MINHASH_PERM_SQL}] AS mh
+                FROM hs
+            ),
+            bands AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(list_slice(mh, b*4 + 1, b*4 + 4), ',')) AS key
+                FROM sig, range(0, 4) t(b)
+            ),
+            buckets AS (
+                SELECT b, key, list_slice(list_sort(list(doc_id)), 1, 64) AS members
+                FROM bands GROUP BY b, key
+            ),
+            cand AS (
+                SELECT DISTINCT pair[1] AS id_a, pair[2] AS id_b FROM (
+                    SELECT unnest(flatten([[[x, y] for y in members if x < y]
+                                           for x in members])) AS pair
+                    FROM buckets WHERE len(members) > 1
+                )
+            ),
+            verified AS (
+                SELECT c.id_a, c.id_b,
+                       round(len(list_intersect(a.s, b.s))::DOUBLE /
+                             greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+                           AS jaccard
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.id_a
+                JOIN sig b ON b.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+        """,
+        "simhash_pairs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform(toks, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hv
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, len(hv) AS n, b,
+                       len(list_filter(hv, h -> (h >> b) & 1 = 1)) AS ones
+                FROM th, range(0, 60) t(b)
+            ),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN n > 0 AND ones * 2 >= n
+                                THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+                SELECT doc_id, c, (simhash >> (15*c)) & 32767 AS key
+                FROM sig, range(0, 4) t(c)
+            ),
+            buckets AS (
+                SELECT c, key, list_slice(list_sort(list(doc_id)), 1, 128) AS members
+                FROM blocks GROUP BY c, key
+            ),
+            cand AS (
+                SELECT DISTINCT pair[1] AS id_a, pair[2] AS id_b FROM (
+                    SELECT unnest(flatten([[[x, y] for y in members if x < y]
+                                           for x in members])) AS pair
+                    FROM buckets WHERE len(members) > 1
+                )
+            )
+            SELECT c.id_a, c.id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.id_a
+            JOIN sig b ON b.doc_id = c.id_b
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ann_lsh_topk": """
+            WITH planes AS (
+                SELECT i, p,
+                       CASE WHEN substr(md5(i::VARCHAR || '_' || p::VARCHAR),1,1) < '8'
+                            THEN 1 ELSE -1 END AS s
+                FROM range(0, 256) t1(i), range(0, 6) t2(p)
+            ),
+            proj AS (
+                SELECT e.vec_id, pl.p,
+                       sum(round(e.embedding[pl.i + 1]::DOUBLE * 1e6)::BIGINT * pl.s) AS pr
+                FROM embeddings e JOIN planes pl ON pl.i < len(e.embedding)
+                GROUP BY e.vec_id, pl.p
+            ),
+            bucket AS (
+                SELECT vec_id,
+                       sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)::INT AS bkt
+                FROM proj GROUP BY vec_id
+            ),
+            qb AS (SELECT bkt AS qbkt FROM bucket WHERE vec_id = 0),
+            probes AS (
+                SELECT qbkt AS pb FROM qb
+                UNION ALL
+                SELECT xor(qbkt::BIGINT, (1::BIGINT << p))::INT FROM qb, range(0, 6) t(p)
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       round(list_dot_product(e.embedding::DOUBLE[], qv)
+                             / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                              e.embedding::DOUBLE[]))
+                                        * sqrt(list_dot_product(qv, qv)), 1e-12), 6) AS cos6
+                FROM embeddings e, q
+                WHERE e.vec_id IN (
+                    SELECT b2.vec_id FROM bucket b2
+                    WHERE b2.bkt IN (SELECT pb FROM probes)
+                )
+            )
+            SELECT vec_id, round(cos6, 3) AS cos3
+            FROM scored ORDER BY cos6 DESC, vec_id LIMIT 10
+        """,
+        "media_features": """
+            SELECT 'doc://d/' || doc_id AS url,
+                   CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                        WHEN 2 THEN 'audio/wav'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4
+                         ELSE 1 END
+                    + octet_length(encode(text)))::BIGINT AS n_bytes
+            FROM documents
+        """,
     }

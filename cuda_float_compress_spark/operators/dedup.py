@@ -3,21 +3,97 @@ embedding-cosine near-dup.
 
 Design for 100 TB: every variant reduces to hash -> shuffle-on-small-key ->
 per-bucket work. Signatures are computed JVM-side with built-in expressions
-where possible (MinHash = array_min over hashed shingles — no Python);
-SimHash uses one vectorized pandas UDF (bit-majority needs numpy). Candidate
-generation NEVER self-joins raw text — only compact (id, bucket) pairs
-shuffle, and bucket sizes are bounded by construction.
+(no per-row Python anywhere in the hash path); SimHash's bit-majority is the
+single numpy step, Arrow-batched. Candidate generation NEVER self-joins raw
+text — only compact (id, key) pairs shuffle — and every LSH bucket is CAPPED
+(deterministically: lowest ids win) so a boilerplate-heavy corpus cannot
+blow up quadratically; the number of members dropped by caps is observable
+via ``pyspark.sql.Observation`` (the DataFrame analog of an accumulator).
+
+Portability: all hashes are 60-bit integers from md5 hex (see
+``hash60_col``), so a SQL oracle (DuckDB) recomputes identical signatures,
+buckets, and pairs — the correctness gate covers these operators end-to-end.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cuda_float_compress_spark.operators.text import shingles_col
+
+# ---------------------------------------------------------------------------
+# Portable 60-bit hash: int(md5(s)[:15 hex], 16). Chosen over xxhash64 so a
+# SQL oracle reproduces it exactly: DuckDB ('0x' || substr(md5(s),1,15))::BIGINT,
+# Python int(hashlib.md5(s).hexdigest()[:15], 16), Spark conv(substr(md5,1,15)).
+# 60 bits (not 64) keeps every engine in non-negative signed-int64 territory
+# (DuckDB's 1<<63 overflows; Spark conv of 16 hex chars can exceed int64).
+# ---------------------------------------------------------------------------
+
+HASH_BITS = 60
+
+
+def hash60_col(c: Column) -> Column:
+    """60-bit md5-derived hash of a string column (JVM-side, portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_py(s: str) -> int:
+    """Driver-side twin of :func:`hash60_col` (same value, same bytes)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _capped_members(
+    grouped: DataFrame, cap: int, observation=None
+) -> DataFrame:
+    """sorted-id bucket members truncated at ``cap`` (lowest ids win —
+    deterministic, SQL-reproducible). ``observation`` (pyspark Observation)
+    records how many members every cap dropped across the job."""
+    out = grouped.withColumn("members", F.slice(F.sort_array("all_members"), 1, cap))
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.sum(F.greatest(F.size("all_members") - cap, F.lit(0))).alias(
+                "dropped_members"
+            ),
+            F.sum((F.size("all_members") > cap).cast("long")).alias(
+                "truncated_buckets"
+            ),
+            F.count(F.lit(1)).alias("buckets"),
+        )
+    return out.drop("all_members")
+
+
+def _member_pairs(bucketed: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs from a ``members: array`` column."""
+    return (
+        bucketed.filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("members"),
+                            lambda a: F.transform(
+                                F.col("members"),
+                                lambda b: F.struct(
+                                    a.alias("id_a"), b.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -48,21 +124,70 @@ def minhash_signature(
     n_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Adds ``minhash: array<bigint>``. Shingles are string-hashed ONCE
-    (the expensive pass over text bytes), then each of the n_hashes
-    components re-hashes the int64 — min over xxhash64(xxhash64(shingle),
-    seed_i). All JVM expressions, one string pass instead of n_hashes."""
+    """Adds ``minhash: array<bigint>``. Shingles are string-hashed ONCE (the
+    expensive pass over text bytes); each of the ``n_hashes`` components is
+    min over (hash60(shingle) XOR K_i) — an xor-permutation family with fixed
+    60-bit constants K_i = hash60("minhash-perm-i"). All JVM expressions; a
+    SQL oracle recomputes the identical signature."""
     sh = shingles_col(F.col(text_col), shingle_k)
-    # materialize the hashed-shingle array in its own projection so the
-    # n_hashes component expressions reuse it instead of re-hashing strings
-    with_base = df.withColumn("__shingle_hashes", F.transform(sh, lambda s: F.xxhash64(s)))
+    perms = [hash60_py(f"minhash-perm-{i}") for i in range(n_hashes)]
+    with_base = df.withColumn("__shingle_hashes", F.transform(sh, hash60_col))
     comps = [
         F.array_min(
-            F.transform(F.col("__shingle_hashes"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
+            F.transform(
+                F.col("__shingle_hashes"), lambda h, k=k: h.bitwiseXOR(F.lit(k))
+            )
         )
-        for i in range(n_hashes)
+        for k in perms
     ]
     return with_base.withColumn("minhash", F.array(*comps)).drop("__shingle_hashes")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    bucket_cap: int = 64,
+    observation=None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs via banding: equal band-key -> candidate.
+    Band key = md5 of the comma-joined band slice (portable to SQL). The only
+    shuffle is groupBy(band, key) over (id, key) rows — tiny vs the corpus —
+    and buckets are capped at ``bucket_cap`` members (drops observable)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, text_col, n_hashes, shingle_k).select(
+        F.col(id_col).alias("id"), "minhash"
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("minhash"), 1 + b * rows_per_band, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_keys)
+    stack = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+            for b in range(bands)
+        ]
+    )
+    exploded = banded.select("id", F.explode(stack).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    grouped = exploded.groupBy("band", "key").agg(
+        F.collect_list("id").alias("all_members")
+    )
+    bucketed = _capped_members(grouped, bucket_cap, observation)
+    return _member_pairs(bucketed)
 
 
 def minhash_lsh_pairs(
@@ -73,80 +198,27 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    bucket_cap: int = 64,
+    observation=None,
 ) -> DataFrame:
-    """Candidate duplicate pairs via banding: equal band-hash -> candidate;
-    estimated Jaccard = matching minhash fraction; filter >= threshold.
+    """Near-duplicate pairs: MinHash-LSH candidate generation, then EXACT
+    shingle-Jaccard verification >= threshold (the verify join touches only
+    candidate ids, semi-join-pruned before shingling).
 
-    Scale: the only shuffle is groupBy(band, band_hash) over (id, signature)
-    rows — tiny compared to the corpus. Hot buckets (boilerplate) are capped
-    per-bucket to bound the quadratic pair expansion.
-    """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, shingle_k).select(
-        F.col(id_col).alias("id"), "minhash"
+    Scale: signatures are one md5 pass per shingle; candidates shuffle
+    (id, band-key) only; verification shingles only docs that appear in some
+    candidate pair."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes, bands, shingle_k, bucket_cap, observation
     )
-    band_cols = [
-        F.xxhash64(
-            F.slice(F.col("minhash"), 1 + b * rows_per_band, rows_per_band)
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", "minhash", *band_cols)
-    stack = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
-            for b in range(bands)
-        ]
+    wanted = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    exploded = banded.select(
-        "id", "minhash", F.explode(stack).alias("bb")
-    ).select("id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # bucket-join: pair ids sharing a (band, band_hash); cap bucket fan-out
-    bucketed = exploded.groupBy("band", "bh").agg(
-        F.slice(F.sort_array(F.collect_list(F.struct("id", "minhash"))), 1, 64).alias(
-            "members"
-        )
-    )
-    pairs = (
-        bucketed.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("members"),
-                            lambda a: F.transform(
-                                F.col("members"),
-                                lambda b: F.struct(
-                                    a["id"].alias("id_a"),
-                                    b["id"].alias("id_b"),
-                                    a["minhash"].alias("mh_a"),
-                                    b["minhash"].alias("mh_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.mh_a", "p.mh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(n_hashes))
-    )
-    return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    pruned = df.join(wanted, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(pruned, cands, id_col, text_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --- n-gram Jaccard (exact, for candidate verification) ----------------------
@@ -177,76 +249,86 @@ def ngram_jaccard_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
+def token_hashes_col(text: Column) -> Column:
+    """60-bit hashes of whitespace tokens (JVM split + md5; empty/blank text
+    -> empty array). Portable: a SQL oracle computes the identical array."""
+    trimmed = F.trim(text)
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<long>")
+    ).otherwise(F.transform(F.split(trimmed, r"\s+"), hash60_col))
+
+
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized numpy bit-majority).
-    Deterministic: token hash = splitmix64 of the token's UTF-8 bytes."""
-
-    def h64(tok: str) -> int:
-        z = (hash_bytes(tok.encode("utf-8"))) & 0xFFFFFFFFFFFFFFFF
-        return z
-
-    def hash_bytes(b: bytes) -> int:
-        # FNV-1a 64-bit (public domain) — stable across processes
-        h = 0xCBF29CE484222325
-        for byte in b:
-            h ^= byte
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        hs = np.fromiter((h64(tok) for tok in toks), dtype=np.uint64, count=len(toks))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        maj = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
-        val = np.uint64(0)
-        for k in range(64):
-            val |= maj[k] << np.uint64(k)
-        out[i] = np.int64(val)
+def _simhash_majority(hash_arrays: pd.Series) -> pd.Series:
+    """Bit-majority over per-document token-hash arrays -> 60-bit SimHash.
+    Vectorized: one concatenated token-hash vector per Arrow batch, then 60
+    shift-mask-reduceat passes (no per-row or per-byte Python — the fix for
+    the round-1 per-byte FNV loop)."""
+    n_rows = len(hash_arrays)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if n_rows == 0:
+        return pd.Series(out)
+    lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=n_rows)
+    nz = lens > 0
+    if not nz.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a, keep in zip(hash_arrays, nz) if keep]
+    ).view(np.uint64)
+    nz_lens = lens[nz]
+    offs = np.zeros(len(nz_lens), dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=offs[1:])
+    sig = np.zeros(len(nz_lens), dtype=np.uint64)
+    for b in range(HASH_BITS):
+        ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), offs)
+        sig |= ((ones * 2 >= nz_lens).astype(np.uint64)) << np.uint64(b)
+    out[nz] = sig.astype(np.int64)
     return pd.Series(out)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+    """Adds ``simhash: bigint`` (60-bit; see token_hashes_col/_simhash_majority)."""
+    return df.withColumn("simhash", _simhash_majority(token_hashes_col(F.col(text_col))))
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bucket_cap: int = 128,
+    observation=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit chunks (pigeonhole: any pair
-    within hamming<=3 shares at least one of 4 chunks), verify hamming."""
+    """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
+    pair within hamming<=3 shares at least one of 4 chunks), verify hamming.
+    Buckets capped at ``bucket_cap`` (lowest ids win, drops observable)."""
     s = with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-        .alias(f"c{c}")
-        for c in range(4)
-    ]
-    t = s.select("id", "simhash", *chunks)
-    pairs = None
-    for c in range(4):
-        a = t.select(
-            F.col(f"c{c}").alias("key"),
-            F.col("id").alias("id_a"),
-            F.col("simhash").alias("sh_a"),
-        )
-        b = t.select(
-            F.col(f"c{c}").alias("key"),
-            F.col("id").alias("id_b"),
-            F.col("simhash").alias("sh_b"),
-        )
-        p = a.join(b, "key").filter(F.col("id_a") < F.col("id_b")).drop("key")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select(
-        "id_a", "id_b", ham.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    chunk = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), 15 * c)
+                .bitwiseAND(F.lit(0x7FFF).cast("long"))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = s.select("id", F.explode(chunk).alias("bb")).select(
+        "id", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key")
+    )
+    grouped = exploded.groupBy("blk", "key").agg(
+        F.collect_list("id").alias("all_members")
+    )
+    bucketed = _capped_members(grouped, bucket_cap, observation)
+    pairs = _member_pairs(bucketed)
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return joined.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 # --- embedding-cosine near-dup ------------------------------------------------
@@ -256,11 +338,19 @@ def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
     min_cosine: float = 0.95,
+    bucket_cap: int = 256,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine within LSH (random-hyperplane sign)
-    buckets. Hyperplanes are deterministic (seeded per dimension index)."""
+    buckets. Hyperplanes are deterministic md5-derived ±1 (portable to SQL).
+
+    Scale: n_planes=16 -> 65k buckets keeps expected bucket size ~N/65k, and
+    every bucket is capped at ``bucket_cap`` rows (row_number window, lowest
+    ids win) so the within-bucket self-join is bounded regardless of skew."""
+    from pyspark.sql import Window as W
+
     from cuda_float_compress_spark.operators.similarity import (
         cosine_sim_cols,
         hyperplane_bucket_col,
@@ -269,10 +359,20 @@ def embedding_neardup_pairs(
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", hyperplane_bucket_col(F.col("v"), n_planes))
-    a = v.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = v.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    w = W.partitionBy("bucket").orderBy("id")
+    ranked = v.withColumn("rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum((F.col("rn") > bucket_cap).cast("long")).alias("dropped_members"),
+        )
+    kept = ranked.filter(F.col("rn") <= bucket_cap).drop("rn")
+    a = kept.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = kept.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_sim_cols(F.col("v_a"), F.col("v_b"))
+    cos = cosine_sim_cols(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= min_cosine)

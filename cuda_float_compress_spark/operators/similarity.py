@@ -50,25 +50,37 @@ def cosine_topk(
     )
 
 
+MAX_DIM = 256  # hyperplane sign matrix extent; vectors longer than this
+# would need a larger literal (raise if your embeddings exceed it)
+
+
+def plane_sign(i: int, p: int) -> int:
+    """Deterministic ±1 for (dimension i, plane p): +1 iff the first hex char
+    of md5(f"{i}_{p}") is < '8'. Portable: a SQL oracle recomputes it with its
+    own md5 (DuckDB: substr(md5(i::VARCHAR||'_'||p::VARCHAR),1,1) < '8')."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{i}_{p}".encode()).hexdigest()[0] < "8" else -1
+
+
 def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
-    """LSH bucket id from random-hyperplane sign bits. Hyperplane p's
-    component for dimension i is a deterministic pseudo-random ±1 derived
-    JVM-side from xxhash64(i, p) — no plane matrix to broadcast, fully
-    reproducible across runs (checkpoint-resume safe)."""
+    """LSH bucket id from random-hyperplane sign bits.
+
+    The projection is INTEGER arithmetic — sum_i round(v_i * 1e6) * sign(i,p)
+    — so it is order-independent and bit-identical across engines (float
+    summation order would flip signs near zero between Spark and a SQL
+    oracle). Signs are broadcast as literal arrays (no per-row hashing)."""
     bits = []
     for p in range(n_planes):
+        signs = F.array(*[F.lit(plane_sign(i, p)) for i in range(MAX_DIM)])
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: F.when(
-                        F.xxhash64(i, F.lit(p)) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x.cast("double") * s,
+                F.slice(signs, 1, F.size(vec)),
+                lambda x, s: F.round(x.cast("double") * 1e6).cast("long")
+                * s.cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))

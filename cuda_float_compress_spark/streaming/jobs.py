@@ -163,10 +163,16 @@ def sessionize_batch(
     streaming session_window)."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap (unix_micros, not a seconds cast): a truncated
+    # seconds comparison could mis-split a session whose gap straddles the
+    # boundary by < 1s on dense data
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     with_new = events.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     sessions = with_new.withColumn(
         "session_seq",

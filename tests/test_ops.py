@@ -129,6 +129,77 @@ def test_embedding_neardup(spark):
     assert (1, 3) not in found
 
 
+def test_hash60_portable(spark):
+    """Spark hash60_col == driver-side hash60_py (the md5-60bit contract the
+    DuckDB oracles rely on)."""
+    samples = ["hello", "", "héllo wörld", "и в не", "a" * 100]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    rows = df.select("s", dedup.hash60_col(F.col("s")).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == dedup.hash60_py(r["s"]), r["s"]
+
+
+def test_simhash_matches_python_reference(spark):
+    """The vectorized simhash equals a per-token Python recomputation."""
+    texts = ["the quick brown fox", "", "  ", "a", "x y z x y z x"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {r["id"]: r["simhash"] for r in dedup.with_simhash(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        hs = [dedup.hash60_py(tok) for tok in toks]
+        sig = 0
+        for b in range(60):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 >= len(hs):
+                sig |= 1 << b
+        assert got[i] == sig, (i, t)
+
+
+def test_lsh_bucket_caps_bound_skew(spark):
+    """1k identical docs: uncapped LSH would emit ~500k pairs; the capped
+    buckets bound the output and the Observation reports what was dropped."""
+    from pyspark.sql import Observation
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate cookie banner accept all cookies please").alias("text"),
+    )
+    obs = Observation("simhash_drops")
+    pairs = dedup.simhash_near_dups(
+        df, "doc_id", max_hamming=3, bucket_cap=64, observation=obs
+    )
+    n_pairs = pairs.count()
+    assert n_pairs <= 64 * 63 // 2  # bounded by cap, not by corpus size
+    drops = obs.get
+    assert drops["dropped_members"] == 4 * (n - 64)  # 4 blocks, each capped
+    assert drops["truncated_buckets"] == 4
+
+    obs2 = Observation("minhash_drops")
+    cands = dedup.minhash_lsh_candidates(
+        df, "doc_id", bucket_cap=64, observation=obs2
+    )
+    assert cands.count() <= 64 * 63 // 2
+    assert obs2.get["dropped_members"] == 4 * (n - 64)  # 4 bands
+
+
+def test_embedding_neardup_cap(spark):
+    """Identical vectors land in one bucket; the cap bounds the self-join."""
+    from pyspark.sql import Observation
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    obs = Observation("emb_drops")
+    pairs = dedup.embedding_neardup_pairs(
+        df, n_planes=4, min_cosine=0.99, bucket_cap=50, observation=obs
+    )
+    assert pairs.count() == 50 * 49 // 2
+    assert obs.get["dropped_members"] == 250
+
+
 # --- similarity ------------------------------------------------------------------
 
 
