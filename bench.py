@@ -36,6 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "480000"))
 ENCODE_RUNS = int(os.environ.get("BENCH_ENCODE_RUNS", "2"))
+# split granularity for the direct paths at bench scale: ~16k rows (~17 MB
+# raw) keeps task count ~2x cores on the 512 MB bench table; at 100 TB the
+# same knob is sized to ~128 MB splits (task count is never the constraint
+# there — the point is tasks >> cores, which this preserves)
+BENCH_SPLIT_ROWS = int(os.environ.get("BENCH_SPLIT_ROWS", "16384"))
 
 
 def ensure_webpages_parquet(spark, n_rows: int) -> str:
@@ -80,37 +85,87 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
     }
 
 
-def run_decode(spark, src_path: str, n_parts: int) -> dict:
-    from cuda_float_compress_spark.operators.decode import decode_table
-    from cuda_float_compress_spark.operators.direct import decode_table_direct
-    from cuda_float_compress_spark.operators.encode import encode_table
+def _kernel_decode_floor(out_dir: str) -> dict:
+    """Single-core, in-process decode of every block payload — the codec
+    kernel rate with zero Spark plumbing (the JVM<->Python Arrow crossing on
+    this host saturates ~0.45 GB/s regardless of cores; this isolates what
+    the kernels themselves deliver per core)."""
+    import glob
 
-    df = spark.read.parquet(src_path)
+    import pyarrow.parquet as pq
+
+    from cuda_float_compress_spark.operators import chunks as Ch
+
+    t0 = time.perf_counter()
+    raw = 0
+    for f in sorted(glob.glob(f"{out_dir}/blocks/*.parquet")):
+        tbl = pq.read_table(
+            f, columns=["col", "ptype", "codec", "n", "n_nulls", "params",
+                        "raw_bytes", "payload"]
+        )
+        for i in range(tbl.num_rows):
+            Ch.decode_column_chunk(
+                tbl.column("payload")[i].as_py(), tbl.column("codec")[i].as_py(),
+                tbl.column("params")[i].as_py(), tbl.column("n")[i].as_py(),
+                tbl.column("n_nulls")[i].as_py(), tbl.column("ptype")[i].as_py(),
+            )
+            raw += tbl.column("raw_bytes")[i].as_py()
+    sec = time.perf_counter() - t0
+    return {"sec": round(sec, 3), "gb_per_sec": round(raw / sec / 1e9, 4)}
+
+
+def run_decode(spark, src_path: str, n_parts: int, runs: int = 2) -> dict:
+    """Median-of-N decode timing AFTER one warm-up run per path: the first
+    full-size decode pays JVM heap growth + codegen (measured 2x steady
+    state) and must not be the reported number."""
+    from cuda_float_compress_spark.operators.decode import decode_table
+    from cuda_float_compress_spark.operators.direct import (
+        decode_table_direct,
+        encode_table_direct,
+    )
+
     out = f"{SHM}/bench_dec_{uuid.uuid4().hex[:8]}"
     try:
-        stats = encode_table(spark, df, out, n_parts=n_parts, resume=False)
-        t0 = time.perf_counter()
-        n = decode_table(spark, out).count()
-        sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n2 = decode_table_direct(spark, out).count()
-        sec_direct = time.perf_counter() - t0
-        assert n == n2
+        stats = encode_table_direct(
+            spark, src_path, out, resume=False,
+            target_rows_per_split=BENCH_SPLIT_ROWS,
+        )
+        raw = stats["raw_bytes"]
+        n = rows = None
+        decode_table_direct(spark, out).count()  # warm-up
+        t_direct = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = decode_table_direct(spark, out).count()
+            t_direct.append(time.perf_counter() - t0)
+        decode_table(spark, out).count()  # warm-up (shuffle path)
+        t_shuffle = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = decode_table(spark, out).count()
+            t_shuffle.append(time.perf_counter() - t0)
+        assert n == rows
+        sec = statistics.median(t_shuffle)
+        sec_direct = statistics.median(t_direct)
         return {
-            "rows": n,
+            "rows": rows,
             "sec": round(sec, 3),
-            "gb_per_sec": round(stats["raw_bytes"] / sec / 1e9, 4),
+            "gb_per_sec": round(raw / sec / 1e9, 4),
             "direct_sec": round(sec_direct, 3),
-            "direct_gb_per_sec": round(stats["raw_bytes"] / sec_direct / 1e9, 4),
+            "direct_gb_per_sec": round(raw / sec_direct / 1e9, 4),
+            "runs": runs,
+            "kernel_1core": _kernel_decode_floor(out),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
 
 def run_encode_direct(spark, src_path: str, runs: int = 1,
-                      target_rows_per_split: int = 65_536) -> dict:
+                      target_rows_per_split: int | None = None) -> dict:
     from cuda_float_compress_spark.operators.direct import encode_table_direct
 
+    if target_rows_per_split is None:
+        target_rows_per_split = BENCH_SPLIT_ROWS
     times = []
     stats = None
     for _ in range(runs):
@@ -277,8 +332,11 @@ def main() -> None:
                 "efficiency": round((t_lo / t_hi) / (hi / lo), 4),
             }
 
+    # headline total uses the DIRECT paths (the scale-correct plan: no raw
+    # shuffle, compressed bytes only across Arrow); shuffle paths stay
+    # reported for the host-locality re-clustering use case
     total = round(sum(t for t in qtimes.values() if t > 0)
-                  + encode_res["sec"] + decode_res["sec"], 3)
+                  + encode_direct_res["sec"] + decode_res["direct_sec"], 3)
     out = {
         "metric": "bench_suite_sec",
         "value": total,

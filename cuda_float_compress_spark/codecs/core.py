@@ -571,39 +571,60 @@ def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
 
 
 def fsst_decode_bytes(enc: bytes, symbols: list[bytes]) -> bytes:
-    """Vectorized decode: token starts extracted with the same pointer-
-    doubling chain walk as the encoder, then one scatter per symbol code."""
+    """Vectorized decode, single O(n) pass — no chain walk.
+
+    Token starts are computable directly: a byte is NOT a token start iff it
+    is the literal of an escape. Escapes are exactly the even-offset bytes of
+    every maximal run of 0xFF: the first byte of such a run is always a start
+    (the byte before it is non-0xFF, hence never an escape), and within a run
+    escape/literal strictly alternate. One parity test per byte replaces the
+    O(log n) gather rounds of the old pointer-doubling walk.
+    """
     n = len(enc)
     if n == 0:
         return b""
     codes = np.frombuffer(enc, dtype=np.uint8)
-    step = np.where(codes == _FSST_ESCAPE, 2, 1).astype(np.int64)
-    nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
-    jump = np.append(nxt, n)
-    starts = np.array([0], dtype=np.int64)
-    while True:
-        stepped = jump[starts]
-        grown = np.unique(np.concatenate([starts, stepped[stepped < n]]))
-        if len(grown) == len(starts):
-            break
-        starts = grown
-        jump = jump[jump]
+    m = codes == _FSST_ESCAPE
+    run_start = m.copy()
+    run_start[1:] &= ~m[:-1]
+    run_id = np.cumsum(run_start) - 1  # meaningful only where m
+    rs_pos = np.flatnonzero(run_start)
+    if len(rs_pos):
+        pos_in_run = np.arange(n, dtype=np.int64) - rs_pos[np.maximum(run_id, 0)]
+        is_escape = m & (pos_in_run % 2 == 0)
+    else:
+        is_escape = m  # no 0xFF bytes at all
+    not_start = np.empty(n, dtype=bool)
+    not_start[0] = False
+    not_start[1:] = is_escape[:-1]
+    starts = np.flatnonzero(~not_start)
+
     tok = codes[starts]
-    sym_lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
+    sym_lens = np.zeros(256, dtype=np.int64)
+    sym_mat = np.zeros((256, _FSST_MAX_LEN), dtype=np.uint8)
+    for c, s in enumerate(symbols):
+        sym_lens[c] = len(s)
+        sym_mat[c, : len(s)] = np.frombuffer(s, dtype=np.uint8)
     is_esc = tok == _FSST_ESCAPE
-    lens = np.where(is_esc, 1, sym_lens[np.minimum(tok, len(symbols))])
+    lens = np.where(is_esc, 1, sym_lens[tok])
     offsets = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     out = np.empty(offsets[-1], dtype=np.uint8)
-    # literals
+    # literals: one scatter
     esc_out = offsets[:-1][is_esc]
     out[esc_out] = codes[np.minimum(starts[is_esc] + 1, n - 1)]
-    # one vectorized scatter per distinct symbol code present
-    for c in np.unique(tok[~is_esc]):
-        s = np.frombuffer(symbols[c], dtype=np.uint8)
-        where = offsets[:-1][tok == c]
-        for j in range(len(s)):
-            out[where + j] = s[j]
+    # symbols: one ragged gather (repeat + within-token index), no per-code loop
+    ne_tok = tok[~is_esc]
+    if len(ne_tok):
+        ne_off = offsets[:-1][~is_esc]
+        ne_len = lens[~is_esc]
+        total = int(ne_len.sum())
+        cs = np.zeros(len(ne_len), dtype=np.int64)
+        np.cumsum(ne_len[:-1], out=cs[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cs, ne_len)
+        out[np.repeat(ne_off, ne_len) + within] = sym_mat[
+            np.repeat(ne_tok, ne_len), within
+        ]
     return out.tobytes()
 
 
@@ -692,21 +713,16 @@ def bytes_fsst_decode(payload: bytes, params: dict, n: int) -> list:
 
 
 def _factorize(items: list) -> tuple[np.ndarray, list]:
-    """codes (int64, -1 for null) + unique values in first-seen order."""
-    table: dict[bytes, int] = {}
-    codes = np.empty(len(items), dtype=np.int64)
-    uniq: list[bytes] = []
-    for i, it in enumerate(items):
-        if it is None:
-            codes[i] = -1
-            continue
-        c = table.get(it)
-        if c is None:
-            c = len(uniq)
-            table[it] = c
-            uniq.append(it)
-        codes[i] = c
-    return codes, uniq
+    """codes (int64, -1 for null) + unique values in first-seen order.
+    Vectorized via Arrow dictionary_encode (C++, no per-value Python dict)."""
+    arr = pa.array(items, type=pa.large_binary())
+    dd = arr.dictionary_encode()
+    ind = dd.indices
+    if ind.null_count:
+        codes = ind.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = ind.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, dd.dictionary.to_pylist()
 
 
 def bytes_dict_encode(items: list) -> tuple[bytes, dict]:

@@ -15,8 +15,18 @@ result back with ``torch.from_numpy``). Semantics match the reference:
 * guarantee: |decompress(compress(x)) - x| <= max_error (up to the same
   float32 rounding slack the reference itself exhibits, README.md:127-142).
 
-NOT wire-compatible with the reference's CUDA payload (different engine); the
-header fields and API semantics are the compatibility surface.
+Wire compatibility: ``cuszplus_decompress`` auto-detects the REFERENCE's
+on-disk format (magic 0x00010203, src/cuszplus_f32.cu:12) and decodes it
+bit-exactly via :mod:`cuda_float_compress_spark.refformat` — stored
+reference-compressed blobs migrate without re-compression. Blobs written by
+THIS engine use a new magic (0x00010204) and a richer layout; to EMIT
+reference-format bytes use ``compress_ref`` (re-exported here).
+
+Torch interop (reference call sites pass torch tensors and a device arg,
+src/cuda_float_compress.cpp:43-55, examples/minimal_example.py:14-17):
+inputs may be torch tensors (converted via .detach().cpu().numpy());
+``device`` is accepted and, when torch is importable, the result is returned
+as a torch tensor on that device — without torch it must be None/"cpu".
 
 Also exposes the exact (lossless) integer path the reference's CPU harness
 tests (compress_int32/decompress_int32, cpu_compress_test.cpp:109-245).
@@ -30,8 +40,38 @@ import struct
 import numpy as np
 
 from cuda_float_compress_spark.codecs import core
+from cuda_float_compress_spark.refformat import (  # noqa: F401  (re-exports)
+    REF_MAGIC,
+    compress_ref,
+    decompress_ref,
+    probe_ref,
+)
 
-_MAGIC = 0x00010204  # distinct from the reference's 0x00010203: new format
+_MAGIC = 0x00010204  # this engine's format; 0x00010203 = reference format
+
+
+def _as_numpy(values):
+    """Accept numpy arrays, lists, and torch tensors (duck-typed: anything
+    with .detach/.cpu, so no hard torch dependency)."""
+    if hasattr(values, "detach"):
+        values = values.detach()
+        if hasattr(values, "cpu"):
+            values = values.cpu()
+        values = values.numpy()
+    return values
+
+
+def _to_device(arr: np.ndarray, device):
+    if device is None or device == "cpu":
+        return arr
+    try:
+        import torch
+    except ImportError as e:
+        raise ValueError(
+            f"device={device!r} requires torch, which is not installed; "
+            "pass device=None for a numpy result"
+        ) from e
+    return torch.from_numpy(arr).to(device)
 
 
 def _pack(kind: int, n: int, eps: float, params: dict, payload: bytes) -> bytes:
@@ -50,9 +90,10 @@ def _unpack(data: bytes) -> tuple[int, int, float, dict, bytes]:
 
 
 def cuszplus_compress(values, max_error: float = 1e-4) -> bytes:
-    """Error-bounded compression of a 1-D float32 array (reference signature:
-    cuszplus_compress(tensor, max_error) -> u8 tensor)."""
-    v = np.ascontiguousarray(values)
+    """Error-bounded compression of a 1-D float32 array or torch tensor
+    (reference signature: cuszplus_compress(tensor, max_error) -> u8 tensor,
+    src/cuda_float_compress.cpp:11-41)."""
+    v = np.ascontiguousarray(_as_numpy(values))
     if v.ndim != 1:
         v = v.reshape(-1)  # reference flattens via .contiguous() semantics
     if v.dtype != np.float32:
@@ -95,20 +136,34 @@ def _decode_chunked(payload: bytes, params: dict, n: int, dec) -> np.ndarray:
     return np.concatenate(out) if out else dec(b"", parts[0] if parts else {}, 0)
 
 
-def cuszplus_decompress(data: bytes):
-    """Inverse of cuszplus_compress -> 1-D float32 numpy array."""
-    kind, n, _eps, params, payload = _unpack(bytes(data))
+def cuszplus_decompress(data, device=None):
+    """Inverse of cuszplus_compress (reference signature:
+    cuszplus_decompress(data, device), src/cuda_float_compress.cpp:43-55).
+
+    Accepts blobs from THIS engine (magic 0x00010204) AND blobs written by
+    the reference itself (magic 0x00010203) — the latter decode bit-exactly
+    through the refformat reader. ``data`` may be bytes, a numpy uint8
+    array, or a torch uint8 tensor; ``device`` (torch only) places the
+    result."""
+    buf = bytes(bytearray(_as_numpy(data))) if not isinstance(
+        data, (bytes, bytearray)
+    ) else bytes(data)
+    if len(buf) >= 4 and struct.unpack_from("<I", buf, 0)[0] == REF_MAGIC:
+        return _to_device(decompress_ref(buf), device)
+    kind, n, _eps, params, payload = _unpack(buf)
     if kind == 1:
-        return _decode_chunked(
+        out = _decode_chunked(
             payload, params, n, core.float_quantize_decode
         ).astype(np.float32)
-    if kind == 2:
-        return _decode_chunked(
-            payload, params, n, core.int_delta_decode
-        ).astype(np.int32)
-    if kind == 3:
-        return core.float_byteplane_decode(payload, params, n)
-    raise ValueError(f"unknown payload kind {kind}")
+    elif kind == 2:
+        out = _decode_chunked(payload, params, n, core.int_delta_decode).astype(
+            np.int32
+        )
+    elif kind == 3:
+        out = core.float_byteplane_decode(payload, params, n)
+    else:
+        raise ValueError(f"unknown payload kind {kind}")
+    return _to_device(out, device)
 
 
 def compress_int32(values) -> bytes:

@@ -29,7 +29,20 @@ def ptype_of(arrow_type: pa.DataType) -> str:
     if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
         return "binary"
     if pa.types.is_timestamp(arrow_type):
-        # Spark TimestampType arrives tz-aware (UTC); TimestampNTZType naive
+        # Spark TimestampType arrives tz-aware (UTC); TimestampNTZType naive.
+        # Reject what the us-precision round-trip contract cannot represent
+        # bit-identically (ns-unit would truncate; non-UTC tz would be lost)
+        if arrow_type.unit != "us":
+            raise TypeError(
+                f"timestamp unit '{arrow_type.unit}' is not the codec's us "
+                "domain (ns would truncate, s/ms would change the schema on "
+                "decode); cast to us first"
+            )
+        if arrow_type.tz is not None and arrow_type.tz not in ("UTC", "+00:00"):
+            raise TypeError(
+                f"non-UTC timestamp tz '{arrow_type.tz}' is not preserved by "
+                "the codec; normalize to UTC first"
+            )
         return "timestamp_us" if arrow_type.tz is not None else "timestamp_ntz"
     if pa.types.is_int64(arrow_type):
         return "int64"
@@ -83,11 +96,31 @@ def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
     lengths = np.diff(offsets).astype(np.int64)
     data_buf = bufs[2]
-    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
     if arr.null_count:
         valid = np.array(arr.is_valid(), dtype=bool)
-        # null slots have zero length in offsets; mark them -1
+        if (lengths[~valid] != 0).any():
+            # a VALID Arrow array may keep bytes under null slots (sliced /
+            # externally-built buffers); slicing offsets[0]:offsets[-1] would
+            # then misalign every value after the null — repack instead
+            data_np = np.frombuffer(data_buf, dtype=np.uint8)
+            starts = offsets[:-1][valid]
+            lens_sel = lengths[valid]
+            total = int(lens_sel.sum())
+            if total:
+                cs = np.zeros(len(lens_sel), dtype=np.int64)
+                np.cumsum(lens_sel[:-1], out=cs[1:])
+                within = np.arange(total, dtype=np.int64) - np.repeat(cs, lens_sel)
+                data = data_np[np.repeat(starts, lens_sel) + within].tobytes()
+            else:
+                data = b""
+            return np.where(valid, lengths, -1), data
         lengths = np.where(valid, lengths, -1)
+    if data_buf is not None and offsets[-1] > offsets[0]:
+        data = np.frombuffer(data_buf, dtype=np.uint8)[
+            offsets[0] : offsets[-1]
+        ].tobytes()
+    else:
+        data = b""
     return lengths, data
 
 
@@ -177,10 +210,7 @@ def encode_column_chunk(
             codec = codec_override
         else:
             codec = _select_bytes_ld(lengths, data)
-        if codec in ("bytes_zstd", "bytes_fsst", "bytes_raw"):
-            payload, params = _LD_ENCODERS[codec](lengths, data)
-        else:
-            payload, params = core.BYTES_CODECS[codec][0](_ld_to_items(lengths, data))
+        payload, params = _LD_ENCODERS[codec](lengths, data)
         return codec, payload, json.dumps(params), n, n_nulls
 
     if ptype in ("timestamp_us", "timestamp_ntz", "int64", "int32", "date32"):
@@ -220,15 +250,7 @@ def decode_column_chunk(
     params = json.loads(params_json)
 
     if ptype in ("string", "binary"):
-        if codec in ("bytes_zstd", "bytes_fsst", "bytes_raw"):
-            lengths, data = _LD_DECODERS[codec](payload, params, n)
-        else:
-            items = core.BYTES_CODECS[codec][1](payload, params, n)
-            lengths = np.fromiter(
-                ((-1 if it is None else len(it)) for it in items),
-                dtype=np.int64, count=n,
-            )
-            data = b"".join(it for it in items if it is not None)
+        lengths, data = _LD_DECODERS[codec](payload, params, n)
         return _ld_to_arrow(lengths, data, ptype)
 
     if ptype in ("timestamp_us", "timestamp_ntz", "int64", "int32", "date32"):
@@ -252,7 +274,9 @@ def _numeric_to_arrow(vals: np.ndarray, valid: np.ndarray | None, ptype: str, n:
     if ptype in ("timestamp_us", "timestamp_ntz"):
         vals = vals.view("datetime64[us]")
     elif ptype == "date32":
-        vals = vals.astype(np.int32).view("datetime64[D]")
+        # astype, NOT view: datetime64[D] is 8 bytes — viewing an int32 days
+        # array as it would halve the element count and scramble values
+        vals = vals.astype("datetime64[D]")
     elif ptype == "int32":
         vals = vals.astype(np.int32)
     if valid is None:
@@ -319,15 +343,114 @@ def _ld_raw_decode(payload, params, n):
     return lengths, data
 
 
+# --- dict / dict+RLE in the (lengths, data) domain: Arrow dictionary_encode
+# for factorization (C++), ragged numpy gather for decode — no per-value
+# Python anywhere (the round-1 hot-path fix). Wire format identical to the
+# list-based core.bytes_dict/bytes_rle codecs.
+
+
+def _ld_factorize(lengths: np.ndarray, data: bytes):
+    arr = _ld_to_arrow(lengths, data, "binary")
+    dd = arr.dictionary_encode()
+    ind = dd.indices
+    if ind.null_count:
+        ind = ind.fill_null(-1)
+    codes = ind.to_numpy(zero_copy_only=False).astype(np.int64)
+    u_lengths, u_data = _bytes_ld(dd.dictionary)
+    return codes, u_lengths, u_data
+
+
+def _gather_ld(
+    u_lengths: np.ndarray, u_data: bytes, codes: np.ndarray
+) -> tuple[np.ndarray, bytes]:
+    """Expand dictionary codes (0 = null, 1..card) to (lengths, data)."""
+    u_lengths = np.where(u_lengths >= 0, u_lengths, 0).astype(np.int64)
+    u_starts = np.zeros(len(u_lengths), dtype=np.int64)
+    if len(u_lengths) > 1:
+        np.cumsum(u_lengths[:-1], out=u_starts[1:])
+    out_lengths = np.where(
+        codes == 0, np.int64(-1), u_lengths[np.maximum(codes - 1, 0)]
+    )
+    sel = codes[codes > 0] - 1
+    lens_sel = u_lengths[sel]
+    total = int(lens_sel.sum())
+    if total == 0:
+        return out_lengths, b""
+    u_np = np.frombuffer(u_data, dtype=np.uint8)
+    cs = np.zeros(len(lens_sel), dtype=np.int64)
+    np.cumsum(lens_sel[:-1], out=cs[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cs, lens_sel)
+    data = u_np[np.repeat(u_starts[sel], lens_sel) + within].tobytes()
+    return out_lengths, data
+
+
+def _ld_dict_encode(lengths, data):
+    codes, u_lengths, u_data = _ld_factorize(lengths, data)
+    len_payload, len_params = core.int_delta_encode(u_lengths)
+    dict_payload = core.pack_sections(len_payload, core.zstd_compress(u_data))
+    codes_payload, codes_params = core.int_for_encode(codes + 1)  # 0 = null
+    payload = core.pack_sections(dict_payload, codes_payload)
+    return payload, {
+        "card": len(u_lengths),
+        "d_l_first": len_params["first"], "d_l_width": len_params["width"],
+        "d_data_size": len(u_data),
+        "c_ref": codes_params["ref"], "c_width": codes_params["width"],
+    }
+
+
+def _ld_dict_decode(payload, params, n):
+    dict_buf, codes_buf = core.unpack_sections(payload)
+    u_len_buf, u_data_buf = core.unpack_sections(dict_buf)
+    card = int(params["card"])
+    u_lengths = core.int_delta_decode(
+        u_len_buf, {"first": params["d_l_first"], "width": params["d_l_width"]}, card
+    )
+    u_data = core.zstd_decompress(u_data_buf, int(params["d_data_size"]))
+    codes = core.int_for_decode(
+        codes_buf, {"ref": params["c_ref"], "width": params["c_width"]}, n
+    )
+    return _gather_ld(u_lengths, u_data, codes)
+
+
+def _ld_rle_encode(lengths, data):
+    codes, u_lengths, u_data = _ld_factorize(lengths, data)
+    len_payload, len_params = core.int_delta_encode(u_lengths)
+    dict_payload = core.pack_sections(len_payload, core.zstd_compress(u_data))
+    codes_payload, codes_params = core.int_rle_encode(codes + 1)
+    payload = core.pack_sections(dict_payload, codes_payload)
+    return payload, {
+        "card": len(u_lengths),
+        "d_l_first": len_params["first"], "d_l_width": len_params["width"],
+        "d_data_size": len(u_data),
+        "r": codes_params,
+    }
+
+
+def _ld_rle_decode(payload, params, n):
+    dict_buf, codes_buf = core.unpack_sections(payload)
+    u_len_buf, u_data_buf = core.unpack_sections(dict_buf)
+    card = int(params["card"])
+    u_lengths = core.int_delta_decode(
+        u_len_buf, {"first": params["d_l_first"], "width": params["d_l_width"]}, card
+    )
+    u_data = core.zstd_decompress(u_data_buf, int(params["d_data_size"]))
+    codes = core.int_rle_decode(codes_buf, params["r"], n)
+    return _gather_ld(u_lengths, u_data, codes)
+
+
 _LD_ENCODERS = {
     "bytes_zstd": _ld_zstd_encode,
     "bytes_fsst": _ld_fsst_encode,
     "bytes_raw": _ld_raw_encode,
+    "bytes_dict": _ld_dict_encode,
+    "bytes_rle": _ld_rle_encode,
 }
 _LD_DECODERS = {
     "bytes_zstd": _ld_zstd_decode,
     "bytes_fsst": _ld_fsst_decode,
     "bytes_raw": _ld_raw_decode,
+    "bytes_dict": _ld_dict_decode,
+    "bytes_rle": _ld_rle_decode,
 }
 
 

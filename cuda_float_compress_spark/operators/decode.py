@@ -50,6 +50,24 @@ def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/blocks")
 
 
+def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Blocks whose (part_id, run_id) is committed ('done') in lineage.
+    Stale partials from a crashed run — blocks appended, lineage never
+    written — are filtered out here (metadata-scale broadcast semi-join).
+    Dirs without lineage (externally assembled blocks) are trusted as-is."""
+    blocks = blocks_of(spark, out_dir)
+    try:
+        lin = (
+            spark.read.parquet(f"{out_dir}/lineage")
+            .filter(F.col("status") == "done")
+            .select("part_id", "run_id")
+            .distinct()
+        )
+    except Exception:
+        return blocks
+    return blocks.join(F.broadcast(lin), ["part_id", "run_id"], "left_semi")
+
+
 def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
     """[(col, ptype)] in original column order — metadata-only collect."""
     rows = (
@@ -62,13 +80,26 @@ _TS_PTYPES = ("timestamp_us", "timestamp_ntz")
 
 
 def _predicate_value(v, ptype: str) -> int:
-    """Normalize a predicate literal to the engine's int64 domain."""
+    """Normalize a predicate literal to the engine's int64 domain for the
+    column's ptype: DAYS for date32 (zone-map vmin/vmax of date columns are
+    stored in days), MICROSECONDS for timestamps."""
     import datetime as _dt
 
+    if ptype == "date32":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return int(v)  # already days-since-epoch
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return int(
+            (_dt.datetime(v.year, v.month, v.day) - _dt.datetime(1970, 1, 1))
+            .total_seconds() * 1_000_000
+        )
     return int(v)
 
 
@@ -103,10 +134,15 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
 
 
 def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
+    import datetime as _dt
+
     for col, op, value in predicates:
         if ptypes.get(col) in _TS_PTYPES:
             c = F.unix_micros(F.col(col).cast("timestamp"))
             value = _predicate_value(value, ptypes[col])
+        elif ptypes.get(col) == "date32" and isinstance(value, _dt.datetime):
+            c = F.col(col)
+            value = value.date()
         else:
             c = F.col(col)
         df = df.filter(
@@ -127,7 +163,7 @@ def decode_table(
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
     payload is read (the encoded format's analog of parquet predicate
     pushdown), then apply the exact filter to the decoded rows."""
-    blocks = blocks_of(spark, out_dir)
+    blocks = committed_blocks(spark, out_dir)
     cols = table_columns(blocks)
     if predicates:
         keys = qualifying_chunks(blocks, predicates)
@@ -159,6 +195,14 @@ def decode_table(
         n_nulls = tbl.column("n_nulls").to_pylist()
         for i, name in enumerate(names):
             ptype = col_ptypes[name]
+            if name in by_col:
+                # duplicate (part_id, chunk_id, col) would silently overwrite
+                # a column with rows from a different run/epoch — corruption,
+                # fail loudly (committed_blocks should have prevented this)
+                raise ValueError(
+                    f"duplicate block for part={key[0]} chunk={key[1]} "
+                    f"col={name}: conflicting runs in {out_dir}/blocks"
+                )
             arr = C.decode_column_chunk(
                 payloads[i], codecs[i], params[i], int(ns[i]), int(n_nulls[i]), ptype
             )

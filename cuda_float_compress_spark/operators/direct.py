@@ -36,6 +36,27 @@ from cuda_float_compress_spark.operators.encode import (
 SPLITS_SCHEMA = "part_id int, file string, rg_start int, rg_end int"
 
 
+def _to_us_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
+    """Normalize timestamp columns to us precision at the direct-read
+    boundary (parquet INT96 arrives as ns in pyarrow). safe=True raises if a
+    value has sub-microsecond precision — the codec's bit-identity contract
+    refuses silent truncation (chunks.ptype_of enforces the same)."""
+    changed = False
+    cols, fields = [], []
+    for i, f in enumerate(rb.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            t = pa.timestamp("us", f.type.tz)
+            cols.append(rb.column(i).cast(t, safe=True))
+            fields.append(pa.field(f.name, t, f.nullable))
+            changed = True
+        else:
+            cols.append(rb.column(i))
+            fields.append(f)
+    if not changed:
+        return rb
+    return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+
 def decode_table_direct(spark: SparkSession, out_dir: str,
                         columns: list[str] | None = None,
                         predicates: list[tuple] | None = None):
@@ -59,9 +80,25 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         qualifying_chunks,
     )
 
-    blocks = blocks_of(spark, out_dir)
+    from cuda_float_compress_spark.operators.decode import committed_blocks
+
+    blocks = committed_blocks(spark, out_dir)
     cols = table_columns(blocks)
     all_ptypes = dict(cols)
+    # committed (part_id, run_id) pairs: workers read block files directly
+    # with pyarrow, so the lineage trust filter ships as a closure set
+    # (metadata-scale — one entry per part per run)
+    try:
+        lin_rows = (
+            spark.read.parquet(f"{out_dir}/lineage")
+            .filter(F.col("status") == "done")
+            .select("part_id", "run_id")
+            .distinct()
+            .collect()
+        )
+        committed: set[tuple] | None = {(r["part_id"], r["run_id"]) for r in lin_rows}
+    except Exception:
+        committed = None
     keep_keys: set[int] | None = None
     if predicates:
         # zone-map pruning, metadata-only; key set is manifest-scale (one
@@ -87,7 +124,7 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                 tbl = pq.read_table(
                     row["file"],
                     columns=["part_id", "chunk_id", "col", "codec", "n",
-                             "n_nulls", "params", "payload"],
+                             "n_nulls", "params", "run_id", "payload"],
                 )
                 part = tbl.column("part_id").to_numpy(zero_copy_only=False)
                 chunk = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
@@ -96,6 +133,7 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                 ns = tbl.column("n").to_pylist()
                 nnulls = tbl.column("n_nulls").to_pylist()
                 params = tbl.column("params").to_pylist()
+                run_ids = tbl.column("run_id").to_pylist()
                 payloads = tbl.column("payload")
                 keys = part.astype(np.int64) << np.int64(32) | chunk.astype(np.int64)
                 by_chunk: dict[int, dict] = {}
@@ -104,7 +142,17 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         continue
                     if keep_keys is not None and int(keys[i]) not in keep_keys:
                         continue
-                    by_chunk.setdefault(int(keys[i]), {})[names[i]] = i
+                    if committed is not None and (
+                        int(part[i]), run_ids[i]
+                    ) not in committed:
+                        continue  # stale partial from an uncommitted run
+                    colmap = by_chunk.setdefault(int(keys[i]), {})
+                    if names[i] in colmap:
+                        raise ValueError(
+                            f"duplicate block for part={int(part[i])} "
+                            f"chunk={int(chunk[i])} col={names[i]} in {row['file']}"
+                        )
+                    colmap[names[i]] = i
                 for _, colmap in sorted(by_chunk.items()):
                     out = {}
                     for c, ptype in cols:
@@ -186,20 +234,21 @@ def encode_table_direct(
                         row_groups=range(row["rg_start"], row["rg_end"]),
                         columns=columns,
                     ):
+                        rb = _to_us_batch(rb)
                         buf.append(rb)
                         buf_rows += rb.num_rows
                         buf_bytes += rb.nbytes
                         if buf_rows >= chunk_rows or buf_bytes >= chunk_bytes:
                             yield _encode_chunk_to_rows(
                                 pa.Table.from_batches(buf), part_id, chunk_id,
-                                overrides, acc,
+                                overrides, acc, run_id,
                             )
                             chunk_id += 1
                             buf, buf_rows, buf_bytes = [], 0, 0
                     if buf:
                         yield _encode_chunk_to_rows(
                             pa.Table.from_batches(buf), part_id, chunk_id,
-                            overrides, acc,
+                            overrides, acc, run_id,
                         )
 
         splits_df = spark.createDataFrame(todo, SPLITS_SCHEMA).repartition(
@@ -210,9 +259,9 @@ def encode_table_direct(
             blocks.write.mode("append").parquet(f"{out_dir}/blocks")
 
         with metrics.stage("manifest"):
-            written = spark.read.parquet(f"{out_dir}/blocks")
-            if done:
-                written = written.filter(~F.col("part_id").isin(list(done)))
+            written = spark.read.parquet(f"{out_dir}/blocks").filter(
+                F.col("run_id") == run_id
+            )
             manifest = (
                 written.groupBy("part_id", "col", "col_idx", "ptype")
                 .agg(

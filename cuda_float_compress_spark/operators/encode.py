@@ -52,6 +52,11 @@ BLOCKS_SCHEMA = T.StructType(
         # chunk pruning on the ENCODED table without touching payloads
         T.StructField("vmin", T.LongType(), True),
         T.StructField("vmax", T.LongType(), True),
+        # provenance: which run wrote this block. decode/manifest only trust
+        # blocks whose (part_id, run_id) is committed in lineage — a crash
+        # between the blocks append and the lineage write leaves stale
+        # partials that must never double-count or corrupt decode
+        T.StructField("run_id", T.StringType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -71,13 +76,14 @@ _BLOCKS_ARROW = pa.schema(
         ("params", pa.string()),
         ("vmin", pa.int64()),
         ("vmax", pa.int64()),
+        ("run_id", pa.string()),
         ("payload", pa.large_binary()),
     ]
 )
 
 
 def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
-                          overrides: dict, acc) -> pa.RecordBatch:
+                          overrides: dict, acc, run_id: str = "") -> pa.RecordBatch:
     cols = {name: [] for name in _BLOCKS_ARROW.names}
     data_cols = [c for c in tbl.column_names if c != "part_id"]
     for idx, name in enumerate(data_cols):
@@ -109,6 +115,7 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         cols["params"].append(params_json)
         cols["vmin"].append(vmin)
         cols["vmax"].append(vmax)
+        cols["run_id"].append(run_id)
         cols["payload"].append(payload)
         if acc is not None:
             acc["raw_bytes"].add(raw)
@@ -120,7 +127,8 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
     return pa.RecordBatch.from_pydict(cols, schema=_BLOCKS_ARROW)
 
 
-def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None):
+def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
+                 run_id: str = ""):
     """Build the mapInArrow function. Parts arrive contiguous (sorted); cut a
     chunk when the buffer reaches chunk_rows rows or chunk_bytes bytes."""
 
@@ -136,7 +144,9 @@ def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None):
             if not buf:
                 return None
             tbl = pa.Table.from_batches(buf)
-            rb = _encode_chunk_to_rows(tbl, cur_part, chunk_counter, overrides, acc)
+            rb = _encode_chunk_to_rows(
+                tbl, cur_part, chunk_counter, overrides, acc, run_id
+            )
             chunk_counter += 1
             buf, buf_rows, buf_bytes = [], 0, 0
             return rb
@@ -208,11 +218,18 @@ def encode_table(
     detect_skew: bool = True,
     run_id: str | None = None,
     metrics: EngineMetrics | None = None,
+    part_offset: int = 0,
 ) -> dict:
     """Encode ``df`` into ``out_dir``/{blocks,manifest,lineage}. Returns a
     metrics dict. Resumable: parts already marked done in lineage are skipped
     (left-anti semantics via a broadcast-sized NOT IN — the part list is
-    metadata, not data)."""
+    metadata, not data).
+
+    ``part_offset`` shifts this run's part ids (streaming ingest gives each
+    epoch a disjoint part range so block keys stay globally unique).
+    Crash safety: blocks carry ``run_id``; manifest aggregates ONLY this
+    run's blocks, and decode trusts only (part_id, run_id) pairs committed
+    in lineage — stale partials from a crashed run are inert."""
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = metrics or EngineMetrics(spark)
     overrides = codec_overrides or {}
@@ -223,6 +240,10 @@ def encode_table(
             skewed_hosts(df, url_col, n_parts) if (detect_skew and mode == "hash") else {}
         )
         planned = plan_partitions(df, url_col, n_parts, mode=mode, salts=salts)
+        if part_offset:
+            planned = planned.withColumn(
+                "part_id", (F.col("part_id") + F.lit(part_offset)).cast("int")
+            )
 
     done = completed_parts(spark, out_dir) if resume else []
     if done:
@@ -231,16 +252,18 @@ def encode_table(
     sort_cols = ["part_id"] + (sort_keys or [url_col])
     planned = planned.sortWithinPartitions(*sort_cols)
 
-    encoder = make_encoder(chunk_rows, chunk_bytes, overrides, metrics.acc)
+    encoder = make_encoder(chunk_rows, chunk_bytes, overrides, metrics.acc, run_id)
     blocks = planned.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
 
     with metrics.stage("encode_write"):
         blocks.write.mode("append").parquet(f"{out_dir}/blocks")
 
     with metrics.stage("manifest"):
-        written = spark.read.parquet(f"{out_dir}/blocks")
-        if done:
-            written = written.filter(~F.col("part_id").isin(done))
+        # aggregate ONLY this run's blocks: stale partials from a crashed
+        # earlier run (blocks written, lineage missing) must not double-count
+        written = spark.read.parquet(f"{out_dir}/blocks").filter(
+            F.col("run_id") == run_id
+        )
         manifest = (
             written.groupBy("part_id", "col", "col_idx", "ptype")
             .agg(

@@ -58,7 +58,11 @@ def reencode_columns(
             yield pa.RecordBatch.from_pydict(out, schema=_BLOCKS_ARROW)
 
     reencoded = touched.mapInArrow(transform, schema=BLOCKS_SCHEMA)
-    new_blocks = untouched.unionByName(reencoded)
+    # stamp the rewrite's run_id on every row (copied AND re-encoded) so the
+    # dst dir's lineage commits exactly the blocks it contains
+    new_blocks = untouched.unionByName(reencoded).withColumn(
+        "run_id", F.lit(run_id)
+    )
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
 
     written = spark.read.parquet(f"{dst_dir}/blocks")
@@ -121,11 +125,14 @@ def compact(
     a per-(part) applyInArrow with no cross-part shuffle of decoded data.
 
     Returns {'chunks_before', 'chunks_after', ...}."""
-    from cuda_float_compress_spark.operators.decode import blocks_of, table_columns
+    from cuda_float_compress_spark.operators.decode import (
+        committed_blocks,
+        table_columns,
+    )
     from cuda_float_compress_spark.operators.encode import _encode_chunk_to_rows
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    blocks = blocks_of(spark, src_dir)
+    blocks = committed_blocks(spark, src_dir)
     chunks_before = blocks.select("part_id", "chunk_id").distinct().count()
     cols = table_columns(blocks)
     col_ptypes = dict(cols)
@@ -165,7 +172,7 @@ def compact(
         while off < full.num_rows:
             piece = full.slice(off, chunk_rows)
             out_batches.append(
-                _encode_chunk_to_rows(piece, part_id, cid, {}, None)
+                _encode_chunk_to_rows(piece, part_id, cid, {}, None, run_id)
             )
             off += piece.num_rows
             cid += 1

@@ -127,21 +127,49 @@ def encode_stream(
     url_col: str = "url",
     n_parts: int = 16,
     query_name: str = "encode_stream",
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous-ingest encode: a parquet-backed stream of web pages is
     compressed micro-batch by micro-batch via foreachBatch -> encode_table.
-    Each epoch appends blocks/manifest/lineage with run_id=epoch-N, so the
-    output directory stays decode-able and resume-able mid-stream (the
-    exactly-once story is the sink's idempotent append keyed by epoch)."""
+
+    Exactly-once story: (a) each epoch gets a DISJOINT part-id range
+    (part_offset = epoch * n_parts) so block keys never collide across
+    micro-batches; (b) the run_id is unique per ATTEMPT, and lineage is only
+    written on success, so a foreachBatch retry's stale partial blocks carry
+    an uncommitted run_id that decode/manifest ignore; (c) an epoch whose
+    lineage is already committed is skipped entirely on checkpoint replay."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+
     from cuda_float_compress_spark.operators.encode import encode_table
 
     batch_df = spark.read.parquet(source_dir)
-    stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def sink(df, epoch_id: int):
+        s = df.sparkSession
+        try:
+            lin = s.read.parquet(f"{out_dir}/lineage")
+            already = (
+                lin.filter(
+                    (_F.col("status") == "done")
+                    & _F.col("run_id").startswith(f"epoch-{epoch_id}-")
+                ).count()
+                > 0
+            )
+        except Exception:
+            already = False
+        if already:
+            return  # checkpoint replay of a committed epoch: idempotent skip
         encode_table(
-            df.sparkSession, df, out_dir, url_col=url_col, n_parts=n_parts,
-            resume=False, detect_skew=False, run_id=f"epoch-{epoch_id}",
+            s, df, out_dir, url_col=url_col, n_parts=n_parts,
+            resume=False, detect_skew=False,
+            run_id=f"epoch-{epoch_id}-{_uuid.uuid4().hex[:6]}",
+            part_offset=int(epoch_id) * n_parts,
         )
 
     q = (

@@ -240,3 +240,54 @@ def test_wrong_codec_id_raises():
     payload, params = core.encode_int_chunk(v, "int_delta")
     with pytest.raises(KeyError):
         core.decode_int_chunk(payload, "no_such_codec", params, 1000)
+
+
+# --- Arrow buffer-extraction hardening ---------------------------------------
+
+
+def test_bytes_ld_null_slots_with_extents():
+    """A valid Arrow array may keep bytes under null slots; extraction must
+    repack instead of misaligning every value after the null."""
+    import pyarrow as pa
+
+    from cuda_float_compress_spark.operators import chunks as C
+
+    offsets = np.array([0, 3, 8, 12], dtype=np.int64)
+    data = b"abcXXXXXdefg"  # null slot [3,8) holds junk bytes
+    validity = pa.py_buffer(np.packbits([1, 0, 1], bitorder="little").tobytes())
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), 3,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        null_count=1,
+    )
+    lengths, d = C._bytes_ld(arr)
+    assert list(lengths) == [3, -1, 4]
+    assert d == b"abcdefg"
+    codec, payload, params, n, n_nulls = C.encode_column_chunk(arr, "binary")
+    out = C.decode_column_chunk(payload, codec, params, n, n_nulls, "binary")
+    assert out.to_pylist() == [b"abc", None, b"defg"]
+
+
+def test_bytes_ld_sliced_array():
+    import pyarrow as pa
+
+    from cuda_float_compress_spark.operators import chunks as C
+
+    arr = pa.array([b"aa", b"bbb", None, b"cccc", b"d"], type=pa.large_binary())
+    sl = arr.slice(1, 3)
+    lengths, d = C._bytes_ld(sl)
+    assert list(lengths) == [3, -1, 4]
+    assert d == b"bbbcccc"
+
+
+def test_ptype_rejects_lossy_timestamps():
+    import pyarrow as pa
+
+    from cuda_float_compress_spark.operators import chunks as C
+
+    with pytest.raises(TypeError):
+        C.ptype_of(pa.timestamp("ns"))
+    with pytest.raises(TypeError):
+        C.ptype_of(pa.timestamp("us", tz="America/New_York"))
+    assert C.ptype_of(pa.timestamp("us")) == "timestamp_ntz"
+    assert C.ptype_of(pa.timestamp("us", tz="UTC")) == "timestamp_us"

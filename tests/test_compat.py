@@ -66,3 +66,120 @@ def test_header_probe_and_errors():
         compat.cuszplus_decompress(b"\x00" * 32)
     with pytest.raises(TypeError):  # dtype check (cuda_float_compress.cpp:15-17)
         compat.cuszplus_compress(np.zeros(10, dtype=np.float64))
+
+
+# --- reference wire format (magic 0x00010203) --------------------------------
+
+
+def test_refformat_roundtrip_odd_sizes():
+    from cuda_float_compress_spark import refformat as R
+
+    rng = np.random.default_rng(1337)
+    for n in [0, 1, 31, 32, 127, 128, 129, 32_768, 32_769, 100_000]:
+        x = rng.normal(0, 1, n).astype(np.float32)
+        blob = R.compress_ref(x, max_error=1e-4)
+        n_probe, eps = R.probe_ref(blob)
+        assert n_probe == n and eps == np.float32(2e-4)
+        y = R.decompress_ref(blob)
+        assert y.dtype == np.float32 and len(y) == n
+        if n:
+            # reference's own slack: README.md:127-142 reports 1.0002e-4 > 1e-4
+            assert np.abs(x - y).max() <= 1.02e-4
+
+
+def test_refformat_header_layout():
+    """Header must be byte-for-byte the reference layout: magic u32 LE,
+    FloatCount u32 LE, Epsilon f32 LE (src/cuszplus_f32.cu:546-549)."""
+    import struct
+
+    from cuda_float_compress_spark import refformat as R
+
+    x = np.zeros(100, dtype=np.float32)
+    blob = R.compress_ref(x, max_error=5e-4)
+    magic, n, eps = struct.unpack_from("<IIf", blob, 0)
+    assert magic == 0x00010203
+    assert n == 100
+    assert eps == np.float32(2 * 5e-4)
+    # payload is one zstd frame expanding to block_count * BLOCK_BYTES
+    import pyarrow as pa
+
+    raw = pa.Codec("zstd").decompress(blob[12:], R.BLOCK_BYTES, asbytes=True)
+    assert len(raw) == R.BLOCK_BYTES
+
+
+def test_refformat_fixture_blob_bit_exact():
+    """A hand-built fixture blob in the documented layout (slow scalar
+    construction straight from the spec) decodes bit-exactly — and the
+    engine's writer produces the identical blob bytes."""
+    from cuda_float_compress_spark import refformat as R
+
+    rng = np.random.default_rng(7)
+    n = 200  # < one thread-lane x2: exercises padding + lane reset
+    x = rng.normal(0, 1, n).astype(np.float32)
+    eps = np.float32(2e-4)
+    inv = np.float32(1.0) / eps
+    # scalar spec transcription: quantize -> per-128 delta -> zigzag -> pad
+    q = [int(np.rint(np.float32(v) * inv)) for v in x]
+    words = []
+    prev = 0
+    for j, qv in enumerate(q):
+        if j % 128 == 0:
+            prev = 0
+        d = (qv - prev) & 0xFFFFFFFF
+        d_signed = d - (1 << 32) if d >= (1 << 31) else d
+        prev = qv
+        words.append(((d_signed << 1) ^ (d_signed >> 31)) & 0xFFFFFFFF)
+    words += [0] * (R.BLOCK_FLOAT_COUNT - len(words))
+    # 2-bit interleave per 32-word group, scatter at stride 1024
+    out_words = [0] * R.BLOCK_FLOAT_COUNT
+    for g in range(R.BLOCK_FLOAT_COUNT // 32):
+        grp = words[g * 32:(g + 1) * 32]
+        shuf = [0] * 32
+        for shift in range(0, 32, 2):
+            r0 = r1 = 0
+            for i in range(16):
+                r0 |= (((grp[i] >> shift) & 3) << (i * 2))
+                r1 |= (((grp[i + 16] >> shift) & 3) << (i * 2))
+            shuf[shift] = r0
+            shuf[shift + 1] = r1
+        for j in range(32):
+            out_words[j * 1024 + g] = shuf[j]
+    import struct
+
+    import pyarrow as pa
+
+    payload = np.array(out_words, dtype="<u4").tobytes()
+    fixture = struct.pack("<IIf", 0x00010203, n, float(eps)) + pa.Codec(
+        "zstd", compression_level=1
+    ).compress(payload, asbytes=True)
+    got = R.decompress_ref(fixture)
+    expect = (np.array(q, dtype=np.int32)[:n]).astype(np.float32) * eps
+    assert np.array_equal(got, expect)
+    # writer parity: engine-compressed blob == the hand-built fixture
+    assert R.compress_ref(x, max_error=1e-4) == fixture
+
+
+def test_compat_decompress_autodetects_reference_blob():
+    from cuda_float_compress_spark import refformat as R
+
+    x = np.random.default_rng(3).normal(0, 1, 40_000).astype(np.float32)
+    blob = R.compress_ref(x, max_error=1e-4)
+    out = compat.cuszplus_decompress(blob)  # reference magic routed
+    assert np.abs(out - x).max() <= 1.02e-4
+    # numpy-uint8-array input (the reference returns u8 tensors)
+    out2 = compat.cuszplus_decompress(np.frombuffer(blob, dtype=np.uint8))
+    assert np.array_equal(out, out2)
+
+
+def test_compat_device_arg_without_torch():
+    x = np.random.default_rng(4).normal(0, 1, 1000).astype(np.float32)
+    blob = compat.cuszplus_compress(x, 1e-4)
+    assert compat.cuszplus_decompress(blob, device=None) is not None
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+    if not has_torch:
+        with pytest.raises(ValueError, match="torch"):
+            compat.cuszplus_decompress(blob, device="cuda")

@@ -93,6 +93,51 @@ def test_streaming_encode_ingest(spark, tmp_path):
     assert all(r["ok"] for r in rep), rep
 
 
+def test_streaming_encode_multi_epoch(spark, tmp_path):
+    """Multiple micro-batches (one file per trigger): epochs write DISJOINT
+    part ranges, so block keys never collide and decode stays bit-identical.
+    (Round-1 bug: chunk_id restarted per epoch and decode silently mixed
+    columns across epochs.)"""
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "me_src")
+    out = str(tmp_path / "me_out")
+    df = generate_webpages_df(spark, 900, partitions=3)
+    df.write.parquet(src)
+    encode_stream(spark, src, out, n_parts=4, max_files_per_trigger=1)
+    lineage = spark.read.parquet(f"{out}/lineage")
+    n_epochs = (
+        lineage.select(F.split(F.col("run_id"), "-")[1].alias("e")).distinct().count()
+    )
+    assert n_epochs >= 2, "expected multiple micro-batches"
+    decoded = decode_table(spark, out)
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
+
+
+def test_stale_partial_blocks_ignored(spark, tmp_path, scratch):
+    """A crash between the blocks append and the lineage write leaves blocks
+    with an uncommitted run_id: decode (both paths) and a subsequent encode's
+    manifest must ignore them."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+
+    src = str(tmp_path / "stale_src")
+    df = generate_webpages_df(spark, 1000, partitions=2)
+    df.write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False, target_rows_per_split=500)
+    # simulate the crashed run: duplicate every block under a run_id that
+    # never reaches lineage
+    blocks = spark.read.parquet(f"{scratch}/blocks")
+    stale = blocks.withColumn("run_id", F.lit("crashed-run"))
+    stale.write.mode("append").parquet(f"{scratch}/blocks")
+    assert spark.read.parquet(f"{scratch}/blocks").count() == 2 * blocks.count()
+    original = spark.read.parquet(src)
+    for decoded in (decode_table(spark, scratch), decode_table_direct(spark, scratch)):
+        rep = verify_roundtrip(original, decoded, "url").collect()
+        assert all(r["ok"] for r in rep), rep
+
+
 def test_direct_decode_bit_identical(spark, tmp_path, scratch):
     from cuda_float_compress_spark.operators.direct import decode_table_direct
 

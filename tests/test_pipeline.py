@@ -209,3 +209,26 @@ def test_decoded_bytes_invariant_to_chunking(spark, webpages, tmp_path):
     b = decode_table(spark, b_dir)
     rep = verify_roundtrip(a, b, "url").collect()
     assert all(r["ok"] for r in rep)
+
+
+def test_zone_map_date_predicate(spark, scratch):
+    """date32 zone-map pruning: predicate literals convert to DAYS, not
+    microseconds (round-1 bug pruned every chunk and returned zero rows)."""
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(1000)]
+    df = (
+        spark.createDataFrame(rows, "id long, d date")
+        .withColumn("url", F.concat(F.lit("u"), F.col("id")))
+    )
+    encode_table(spark, df, scratch, n_parts=2, chunk_rows=100, resume=False,
+                 sort_keys=["d"])
+    cutoff = dt.date(2026, 1, 1)
+    got = decode_table(spark, scratch, predicates=[("d", ">=", cutoff)])
+    expected = df.filter(F.col("d") >= F.lit(cutoff))
+    assert got.count() == expected.count() > 0
+    # datetime literal against a date column also normalizes correctly
+    got2 = decode_table(
+        spark, scratch, predicates=[("d", "<", dt.datetime(2024, 3, 1))]
+    )
+    assert got2.count() == df.filter(F.col("d") < F.lit(dt.date(2024, 3, 1))).count()
