@@ -254,6 +254,22 @@ def int_delta_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     return delta_decode(int(params["first"]), d)
 
 
+def int_zz_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Zigzag + plane-major bitpack with NO predictor. Optimal when adjacent
+    values are independent (quantized model weights): a delta predictor adds
+    sqrt(2) noise, ~+0.5 bit/value — measured 3.28x vs 3.14x on the layered
+    model-weight fixture. The reference froze delta offline
+    (src/cuszplus_f32.cu:98-106); our selector re-makes the choice per chunk."""
+    z = zigzag_encode(v.astype(np.int64, copy=False))
+    body, w = _enc_uints(z)
+    return body, {"width": w}
+
+
+def int_zz_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    z = _dec_uints(payload, int(params["width"]), n)
+    return zigzag_decode(z)
+
+
 def int_rle_encode(v: np.ndarray) -> tuple[bytes, dict]:
     values, lengths = rle_runs(v.astype(np.int64, copy=False))
     vals_payload, vals_params = int_delta_encode(values)
@@ -389,6 +405,7 @@ def int_patched_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
 INT_CODECS = {
     "int_raw": (int_raw_encode, int_raw_decode),
     "int_for": (int_for_encode, int_for_decode),
+    "int_zz": (int_zz_encode, int_zz_decode),
     "int_delta": (int_delta_encode, int_delta_decode),
     "int_rle": (int_rle_encode, int_rle_decode),
     "int_dict": (int_dict_encode, int_dict_decode),
@@ -862,19 +879,27 @@ def float_quantize_encode(
 ) -> tuple[bytes, dict]:
     """Lossy, error-bounded: the reference front-end. q = round_half_even(
     x / eps) with eps = 2*max_error (src/cuda_float_compress.cpp:34,
-    src/cuszplus_f32.cu:384-388), then the exact integer pipeline.
+    src/cuszplus_f32.cu:384-388), then the best EXACT integer codec selected
+    per chunk (delta vs no-predictor zigzag vs delta-of-delta — model-weight
+    chunks are near-iid, so no-predictor usually wins; see int_zz_encode).
     Guarantees |decode - x| <= max_error when quantization doesn't overflow."""
+    from cuda_float_compress_spark.codecs import select
+
     eps = 2.0 * max_error
     q = np.rint(v.astype(np.float64) / eps).astype(np.int64)
-    payload, params = int_delta_encode(q)
+    codec, payload, params = select.select_and_encode_int(
+        q, candidates=["int_delta", "int_zz", "int_dod"]
+    )
     params = dict(params)
+    params["codec"] = codec
     params["eps"] = eps
     params["dtype"] = str(v.dtype)
     return payload, params
 
 
 def float_quantize_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
-    q = int_delta_decode(payload, params, n)
+    codec = params.get("codec", "int_delta")
+    q = INT_CODECS[codec][1](payload, params, n)
     return (q.astype(np.float64) * float(params["eps"])).astype(
         np.dtype(params["dtype"])
     )

@@ -27,12 +27,27 @@ def _trial_size(encode, values) -> int:
     return len(payload)
 
 
+def _contiguous_sample(v: np.ndarray, windows: int = 4, width: int = 256) -> np.ndarray:
+    """Trial sample as a few CONTIGUOUS windows: a strided sample inflates
+    delta/delta-of-delta statistics (stride-k deltas are ~k bigger), which
+    mis-ranks predictor codecs on smooth data."""
+    n = len(v)
+    if n <= windows * width:
+        return v
+    starts = np.linspace(0, n - width, windows).astype(np.int64)
+    return np.concatenate([v[s : s + width] for s in starts])
+
+
 def select_int_codec(v: np.ndarray, candidates: list[str] | None = None) -> str:
     """Pick the min-size integer codec via stats pruning + trial encodes."""
     n = len(v)
     if n == 0:
         return "int_raw"
-    cands = list(candidates) if candidates else ["int_for", "int_delta", "int_dod"]
+    cands = (
+        list(candidates)
+        if candidates
+        else ["int_for", "int_zz", "int_delta", "int_dod"]
+    )
     if candidates is None:
         # stats pruning: RLE only pays off with long runs; DICT with low card.
         sample = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]
@@ -50,7 +65,7 @@ def select_int_codec(v: np.ndarray, candidates: list[str] | None = None) -> str:
             p99 = int(np.partition(u, max(0, int(len(u) * 0.99) - 1))[max(0, int(len(u) * 0.99) - 1)])
             if int(u.max()).bit_length() > p99.bit_length() + 8:
                 cands.append("int_patched")
-    trial = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]
+    trial = v if n <= _FULL_TRIAL_MAX else _contiguous_sample(v)
     best, best_size = None, None
     for name in cands:
         size = _trial_size(core.INT_CODECS[name][0], trial)

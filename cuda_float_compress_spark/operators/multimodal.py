@@ -1,14 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder stands in so the Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and tested.
-The byte-level feature extractor (histogram/entropy) is real.
+REAL decoders (pure numpy, no external libs): uncompressed 24-bit BMP,
+binary PPM (P6), and PCM-16 WAV — the standard uncompressed interchange
+formats. Compressed formats (PNG/JPEG/OGG/WebM) would need codec libraries
+not present in this container; for those ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic fake
+decoder stands in so the Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — stays real and tested. The byte-level feature
+extractor (histogram/entropy) is real for every format.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -24,6 +29,8 @@ _MAGICS = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
+    b"P6": "image/x-portable-pixmap",
     b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
     b"\x1aE\xdf\xa3": "video/webm",
@@ -37,13 +44,125 @@ def sniff_media_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> HxWx3 RGB uint8.
+    Rows are 4-byte padded, stored bottom-up (negative height = top-down),
+    pixels BGR."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 RGB uint8 -> uncompressed 24-bit BMP bytes (test/fixture twin
+    of decode_bmp)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 RGB uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> single-whitespace-delimited (comments ok)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    need = pos + w * h * 3
+    if len(payload) < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 WAV -> (samples[n, channels] int16, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n, channels) int16 -> PCM-16 WAV bytes (test/fixture twin)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array. STUB: real decoding needs
-    an image library not present in this container."""
+    """Decode an image payload to an HxWx3 array. REAL for uncompressed
+    formats (BMP 24-bit, PPM P6); compressed formats need codec libraries not
+    present in this container — pass fake=True for the deterministic
+    stand-in (plumbing tests)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library not present in this "
-            "container; pass fake=True for the deterministic stand-in"
+            "compressed-image decoding requires an imaging library not "
+            "present in this container; use BMP/PPM payloads or fake=True"
         )
     # deterministic fake: dimensions + pixels derived from the byte content
     h = 4 + (len(payload) % 13)
@@ -75,7 +194,10 @@ def extract_media_features(
                     entropy = float(-(p * np.log2(p)).sum())
                 else:
                     entropy = 0.0
-                img = decode_image(b, fake=fake_decode) if len(b) else None
+                try:
+                    img = decode_image(b, fake=fake_decode) if len(b) else None
+                except (ValueError, NotImplementedError):
+                    img = None  # magic-like prefix on non-image bytes
                 rows.append(
                     (
                         u,

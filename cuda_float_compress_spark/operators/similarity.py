@@ -9,8 +9,11 @@ query-side probe touches one bucket (plus optional multiprobe neighbors).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -63,31 +66,61 @@ def plane_sign(i: int, p: int) -> int:
     return 1 if hashlib.md5(f"{i}_{p}".encode()).hexdigest()[0] < "8" else -1
 
 
+def _sign_matrix(n_planes: int, dim: int = MAX_DIM):
+    return np.array(
+        [[plane_sign(i, p) for p in range(n_planes)] for i in range(dim)],
+        dtype=np.int64,
+    )
+
+
+def _round_half_away(x):
+    """HALF_UP (away from zero) — matches Spark F.round and SQL round();
+    numpy's np.round is half-EVEN and would disagree on exact .5 ties."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def bucket_py(vec, n_planes: int) -> int:
+    """Driver-side twin of hyperplane_bucket_col (same integers)."""
+    v = np.asarray(vec, dtype=np.float64)
+    q = _round_half_away(v * 1e6).astype(np.int64)
+    proj = q @ _sign_matrix(n_planes, len(v))
+    return int(((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum())
+
+
 def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
     """LSH bucket id from random-hyperplane sign bits.
 
     The projection is INTEGER arithmetic — sum_i round(v_i * 1e6) * sign(i,p)
-    — so it is order-independent and bit-identical across engines (float
-    summation order would flip signs near zero between Spark and a SQL
-    oracle). Signs are broadcast as literal arrays (no per-row hashing)."""
-    bits = []
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(plane_sign(i, p)) for i in range(MAX_DIM)])
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.slice(signs, 1, F.size(vec)),
-                lambda x, s: F.round(x.cast("double") * 1e6).cast("long")
-                * s.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    — order-independent and bit-identical across engines (float summation
+    order would flip signs near zero between Spark and a SQL oracle), so a
+    SQL oracle recomputes identical buckets. Executed as one Arrow-batched
+    int64 matmul per batch (a literal-array SQL expression of this size falls
+    out of whole-stage codegen and runs ~10x slower interpreted)."""
+    S = _sign_matrix(n_planes)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        out = np.zeros(n, dtype=np.int32)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
+        mx = int(lens.max()) if n else 0
+        if mx > MAX_DIM:
+            raise ValueError(f"vector dim {mx} exceeds MAX_DIM={MAX_DIM}")
+        M = np.zeros((n, mx), dtype=np.float64)
+        for i, a in enumerate(vecs):  # ragged fill; zero-pad is a no-op term
+            M[i, : lens[i]] = a
+        q = _round_half_away(M * 1e6).astype(np.int64)
+        proj = q @ S[:mx]
+        out = (
+            ((proj >= 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64))
+            .sum(axis=1)
+            .astype(np.int32)
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+        return pd.Series(out)
+
+    return bucket(vec)
 
 
 def ann_lsh_topk(
@@ -101,15 +134,12 @@ def ann_lsh_topk(
     """Approximate top-k: probe only the query's hyperplane bucket, exact
     cosine inside it. Recall improves with multiprobe (neighbor buckets at
     hamming distance 1) — included so small buckets don't starve results."""
-    bucketed = df.withColumn("__bucket", hyperplane_bucket_col(F.col(vec_col), n_planes))
-    # compute the query's bucket with the same expression on a 1-row frame
-    spark = df.sparkSession
-    qrow = spark.range(1).select(
-        F.array(*[F.lit(float(x)) for x in query_vec]).alias("qv")
+    bucketed = df.withColumn(
+        "__bucket", hyperplane_bucket_col(F.col(vec_col), n_planes)
     )
-    qb = qrow.select(hyperplane_bucket_col(F.col("qv"), n_planes).alias("b")).collect()[
-        0
-    ]["b"]
+    # the query's bucket: driver-side numpy twin (same integer arithmetic —
+    # no Spark job for one vector)
+    qb = bucket_py(query_vec, n_planes)
     probe = [qb] + [qb ^ (1 << p) for p in range(n_planes)]  # multiprobe r=1
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim_cols(F.col(vec_col).cast("array<double>"), q)

@@ -298,3 +298,46 @@ def test_stateful_streaming_counts(spark):
     )
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_real_bmp_ppm_wav_decoders(spark):
+    """Real (pure-numpy) media decoders round-trip through the Spark
+    mapInPandas extractor on genuine format bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    bmp = multimodal.encode_bmp(img)
+    assert np.array_equal(multimodal.decode_bmp(bmp), img)
+    assert np.array_equal(multimodal.decode_image(bmp), img)  # no fake needed
+
+    ppm = b"P6\n# comment\n7 13\n255\n" + img.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(ppm), img)
+
+    samples = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    wav = multimodal.encode_wav(samples, rate=8000)
+    out, rate = multimodal.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(out, samples)
+
+    # through the Spark surface: sniffing identifies the real formats
+    df = spark.createDataFrame(
+        [("bmp", bytearray(bmp)), ("ppm", bytearray(ppm)), ("wav", bytearray(wav))],
+        "url string, html binary",
+    )
+    feats = {r["url"]: r for r in
+             multimodal.extract_media_features(df, "url", "html").collect()}
+    assert feats["bmp"]["media_type"] == "image/bmp"
+    assert feats["bmp"]["fake_width"] == 7 and feats["bmp"]["fake_height"] == 13
+    assert feats["ppm"]["media_type"] == "image/x-portable-pixmap"
+    assert feats["wav"]["media_type"] == "audio/wav"
+
+
+def test_decoders_reject_corrupt_media():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_bmp(b"BM" + b"\x00" * 60)  # bpp/offset garbage
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 48)
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")

@@ -68,3 +68,41 @@ def test_reference_integer_fixture_ratio():
     payload, _ = core.int_delta_encode(v)
     ratio = v.nbytes / 2 / len(payload)  # /2: reference counts int32 bytes
     assert ratio > 2.5, ratio
+
+
+def test_model_weight_fixture_ratio_with_selector():
+    """Layered model-weight fixture (per-layer sigma = sqrt(2/fan_in), the
+    RegNet-like shape): the per-chunk codec selector must pick the
+    no-predictor zigzag path where it wins, landing >= 3.25x (was 3.14x with
+    delta hardcoded; reference reports 4.02x on the real RegNet weights,
+    README.md:143)."""
+    from cuda_float_compress_spark import compat
+
+    rng = np.random.default_rng(99)
+    layers = [
+        rng.normal(0, np.sqrt(2.0 / f), 250_000).astype(np.float32)
+        for f in [27, 576, 1152, 2304, 4608, 9216, 2016, 3024]
+    ]
+    x = np.concatenate(layers)
+    blob = compat.cuszplus_compress(x, 1e-4)
+    assert 4 * len(x) / len(blob) >= 3.25
+    y = compat.cuszplus_decompress(blob)
+    assert np.abs(x - y).max() <= 1.02e-4
+
+
+def test_selector_never_loses_to_fixed_delta():
+    from cuda_float_compress_spark.codecs import select
+
+    rng = np.random.default_rng(5)
+    fixtures = {
+        "iid": rng.normal(0, 300, 100_000).astype(np.int64),
+        "smooth": np.cumsum(rng.integers(0, 50, 100_000)).astype(np.int64),
+        "linear+noise": (np.arange(100_000) * 1000
+                         + rng.integers(-3, 4, 100_000)).astype(np.int64),
+    }
+    for name, v in fixtures.items():
+        codec, payload, _ = select.select_and_encode_int(
+            v, candidates=["int_delta", "int_zz", "int_dod"]
+        )
+        fixed, _ = core.int_delta_encode(v)
+        assert len(payload) <= len(fixed) * 1.02, (name, codec)

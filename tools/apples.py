@@ -1,0 +1,69 @@
+"""Apples-to-apples measurement: the compat API on the documented RegNet-like
+fixture (BASELINE.md). Single process, 1 core — prints a JSON line.
+
+Fixture: 8 layers of normal(0, sqrt(2/fan_in)) float32 (He-init shapes, the
+weight distribution a RegNet-Y-class convnet actually has; a flat normal(0,1)
+tensor is NOT representative — quantized at eps=2e-4 it carries ~14 bits/value
+of entropy vs ~9-10 for real weights, which is why the reference's 4.02x is
+only reachable on weight-shaped data). Scaled to 16M params for wall-clock;
+ratio is size-independent beyond a few chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from cuda_float_compress_spark import compat, refformat  # noqa: E402
+
+FAN_INS = [27, 576, 1152, 2304, 4608, 9216, 2016, 3024]
+LAYER = 2_000_000
+
+
+def fixture() -> np.ndarray:
+    rng = np.random.default_rng(99)
+    return np.concatenate(
+        [rng.normal(0, np.sqrt(2.0 / f), LAYER).astype(np.float32) for f in FAN_INS]
+    )
+
+
+def main() -> None:
+    x = fixture()
+    nbytes = x.nbytes
+    out = {"fixture": "regnet-like fan-in layered", "n_values": len(x)}
+
+    t0 = time.perf_counter()
+    blob = compat.cuszplus_compress(x, 1e-4)
+    t1 = time.perf_counter()
+    y = compat.cuszplus_decompress(blob)
+    t2 = time.perf_counter()
+    out["native"] = {
+        "ratio": round(nbytes / len(blob), 3),
+        "compress_sec": round(t1 - t0, 2),
+        "compress_gb_s": round(nbytes / (t1 - t0) / 1e9, 3),
+        "decompress_sec": round(t2 - t1, 2),
+        "decompress_gb_s": round(nbytes / (t2 - t1) / 1e9, 3),
+        "max_err": float(np.abs(x - y).max()),
+    }
+
+    t0 = time.perf_counter()
+    rblob = refformat.compress_ref(x, 1e-4)
+    t1 = time.perf_counter()
+    ry = refformat.decompress_ref(rblob)
+    t2 = time.perf_counter()
+    out["refformat"] = {
+        "ratio": round(nbytes / len(rblob), 3),
+        "compress_sec": round(t1 - t0, 2),
+        "decompress_sec": round(t2 - t1, 2),
+        "max_err": float(np.abs(x - ry).max()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
