@@ -302,7 +302,9 @@ def _minhash_dedup_pairs(spark, sf_dir):
     from cuda_float_compress_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+    # word shingles: the standard large-corpus MinHash configuration
+    # (~word-length x fewer hashed elements than char shingles)
+    return minhash_lsh_pairs(docs, "doc_id", threshold=0.8, shingle_mode="word")
 
 
 def _simhash_pairs(spark, sf_dir):
@@ -758,11 +760,21 @@ def oracle_sql() -> dict[str, str]:
         # band keys, deterministic bucket caps, and integer hyperplane
         # projections — so hash_match covers signature + bucketing + verify.
         "minhash_dedup_pairs": f"""
-            WITH sh AS (
+            WITH tok AS (
                 SELECT doc_id,
-                       list_distinct([substring(text, i, 5)
-                                      for i in range(1, greatest(length(text) - 3, 2))]) AS s
+                       CASE WHEN length(trim(text)) = 0 THEN ['']
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS toks
                 FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN toks = [''] THEN ['']
+                                ELSE [array_to_string(list_slice(toks, i, i + 4), ' ')
+                                      for i in range(1, greatest(len(toks) - 3, 2))]
+                           END) AS s
+                FROM tok
             ),
             hs AS (
                 SELECT doc_id, s,

@@ -57,10 +57,18 @@ def ensure_webpages_parquet(spark, n_rows: int) -> str:
     return path
 
 
-def run_encode(spark, src_path: str, n_parts: int, runs: int = 1) -> dict:
+def run_encode(spark, src_path: str, n_parts: int, runs: int = 1,
+               warmup: bool = True) -> dict:
+    """Median-of-N after one unmeasured warm-up (first full-size run pays JVM
+    heap growth + codegen, measured 2-5x steady state on this host)."""
     from cuda_float_compress_spark.operators.encode import encode_table
 
     df = spark.read.parquet(src_path)
+    if warmup:
+        out = f"{SHM}/bench_warm_{uuid.uuid4().hex[:8]}"
+        encode_table(spark, df, out, n_parts=n_parts, resume=False,
+                     detect_skew=True)
+        shutil.rmtree(out, ignore_errors=True)
     times = []
     stats = None
     for _ in range(runs):
@@ -161,11 +169,17 @@ def run_decode(spark, src_path: str, n_parts: int, runs: int = 2) -> dict:
 
 
 def run_encode_direct(spark, src_path: str, runs: int = 1,
-                      target_rows_per_split: int | None = None) -> dict:
+                      target_rows_per_split: int | None = None,
+                      warmup: bool = True) -> dict:
     from cuda_float_compress_spark.operators.direct import encode_table_direct
 
     if target_rows_per_split is None:
         target_rows_per_split = BENCH_SPLIT_ROWS
+    if warmup:
+        out = f"{SHM}/bench_warm_{uuid.uuid4().hex[:8]}"
+        encode_table_direct(spark, src_path, out, resume=False,
+                            target_rows_per_split=target_rows_per_split)
+        shutil.rmtree(out, ignore_errors=True)  # warm-up, unmeasured
     times = []
     stats = None
     for _ in range(runs):
@@ -199,10 +213,9 @@ def encode_only_main(cores: int, src_path: str, n_parts: int) -> None:
     spark = get_spark(app=f"bench_enc_{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     try:
-        # warm-up on the REAL payload: the first full-size run pays JVM heap
-        # growth + worker memory faulting (measured 2-3x slower than steady
-        # state on this host) and must not be the measured one
-        run_encode_direct(spark, src_path, runs=1)
+        # warm-up on the REAL payload happens inside run_encode_direct: the
+        # first full-size run pays JVM heap growth + worker memory faulting
+        # (measured 2-5x slower than steady state on this host)
         res = run_encode_direct(spark, src_path, runs=ENCODE_RUNS)
         print("\n" + json.dumps({"cores": cores, **res}))
     finally:

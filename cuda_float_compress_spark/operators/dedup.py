@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cuda_float_compress_spark.operators.text import shingles_col
+from cuda_float_compress_spark.operators.text import shingles_col, word_shingles_col
 
 # ---------------------------------------------------------------------------
 # Portable 60-bit hash: int(md5(s)[:15 hex], 16). Chosen over xxhash64 so a
@@ -118,26 +118,37 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def _shingle_expr(text, shingle_k: int, shingle_mode: str):
+    if shingle_mode == "word":
+        return word_shingles_col(text, shingle_k)
+    return shingles_col(text, shingle_k)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_k: int = 5,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Adds ``minhash: array<bigint>``. Shingles are string-hashed ONCE (the
     expensive pass over text bytes); each of the ``n_hashes`` components is
     min over (hash60(shingle) XOR K_i) — an xor-permutation family with fixed
     60-bit constants K_i = hash60("minhash-perm-i"). All JVM expressions; a
     SQL oracle recomputes the identical signature."""
-    sh = shingles_col(F.col(text_col), shingle_k)
+    sh = _shingle_expr(F.col(text_col), shingle_k, shingle_mode)
     perms = [hash60_py(f"minhash-perm-{i}") for i in range(n_hashes)]
     with_base = df.withColumn("__shingle_hashes", F.transform(sh, hash60_col))
+
+    def _xor_with(k: int):
+        # closure factory, NOT a defaulted second lambda arg: pyspark treats
+        # a two-parameter transform lambda as (element, INDEX) and would
+        # silently shadow k with the element index (degenerating all
+        # n_hashes components to the same value)
+        return lambda h: h.bitwiseXOR(F.lit(k))
+
     comps = [
-        F.array_min(
-            F.transform(
-                F.col("__shingle_hashes"), lambda h, k=k: h.bitwiseXOR(F.lit(k))
-            )
-        )
+        F.array_min(F.transform(F.col("__shingle_hashes"), _xor_with(k)))
         for k in perms
     ]
     return with_base.withColumn("minhash", F.array(*comps)).drop("__shingle_hashes")
@@ -152,13 +163,14 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     bucket_cap: int = 64,
     observation=None,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs via banding: equal band-key -> candidate.
     Band key = md5 of the comma-joined band slice (portable to SQL). The only
     shuffle is groupBy(band, key) over (id, key) rows — tiny vs the corpus —
     and buckets are capped at ``bucket_cap`` members (drops observable)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, shingle_k).select(
+    sig = minhash_signature(df, text_col, n_hashes, shingle_k, shingle_mode).select(
         F.col(id_col).alias("id"), "minhash"
     )
     band_keys = [
@@ -200,6 +212,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     bucket_cap: int = 64,
     observation=None,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidate generation, then EXACT
     shingle-Jaccard verification >= threshold (the verify join touches only
@@ -209,7 +222,8 @@ def minhash_lsh_pairs(
     (id, band-key) only; verification shingles only docs that appear in some
     candidate pair."""
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes, bands, shingle_k, bucket_cap, observation
+        df, id_col, text_col, n_hashes, bands, shingle_k, bucket_cap,
+        observation, shingle_mode,
     )
     wanted = (
         cands.select(F.col("id_a").alias(id_col))
@@ -217,7 +231,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     pruned = df.join(wanted, id_col, "left_semi")
-    verified = ngram_jaccard_pairs(pruned, cands, id_col, text_col, shingle_k)
+    verified = ngram_jaccard_pairs(
+        pruned, cands, id_col, text_col, shingle_k, shingle_mode
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -226,13 +242,15 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, candidates: DataFrame, id_col: str, text_col: str = "text",
-    shingle_k: int = 5,
+    shingle_k: int = 5, shingle_mode: str = "char",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (id_a, id_b) pairs. Joins the
     (small) candidate set back to texts — broadcast when it fits."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+        F.array_distinct(
+            _shingle_expr(F.col(text_col), shingle_k, shingle_mode)
+        ).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -107,3 +107,19 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     return F.when(n < k, F.array(text)).otherwise(
         F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: text.substr(i, F.lit(k)))
     )
+
+
+def word_shingles_col(text: Column, w: int = 5) -> Column:
+    """Word w-shingles (space-joined token windows) as an array<string> —
+    ~word-length x fewer elements than character shingles for the same
+    dedup power on prose; the standard large-corpus MinHash configuration.
+    SQL twin (DuckDB): [array_to_string(list_slice(toks, i, i+w-1), ' ')
+    for i in range(1, greatest(len(toks)-w+2, 2))]."""
+    trimmed = F.trim(text)
+    toks = F.split(trimmed, r"\s+")
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    return F.when(F.length(trimmed) == 0, F.array(F.lit(""))).otherwise(windows)

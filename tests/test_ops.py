@@ -341,3 +341,23 @@ def test_decoders_reject_corrupt_media():
         multimodal.decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 48)
     with _pytest.raises(ValueError):
         multimodal.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_minhash_components_are_distinct_permutations(spark):
+    """Regression: a two-parameter transform lambda shadows the xor constant
+    with the element INDEX, collapsing all n_hashes components to one value
+    (and the LSH to a single hash function)."""
+    df = spark.createDataFrame(
+        [(1, "many different words make many different shingles here today ok")],
+        ["doc_id", "text"],
+    )
+    mh = dedup.minhash_signature(df).collect()[0]["minhash"]
+    assert len(set(mh)) > 8, mh  # 16 xor-permutations must not collapse
+    # and each component is exactly min over (hash60(shingle) xor K_i)
+    sh = df.select(
+        text.shingles_col(F.col("text"), 5).alias("s")
+    ).collect()[0]["s"]
+    hs = [dedup.hash60_py(x) for x in sh]
+    for i in range(16):
+        k = dedup.hash60_py(f"minhash-perm-{i}")
+        assert mh[i] == min(h ^ k for h in hs), i
