@@ -61,36 +61,55 @@ def _zigzag_decode_u32(z: np.ndarray) -> np.ndarray:
             ^ -(z & np.uint32(1)).astype(np.int32))
 
 
-def _interleave_2bit(groups: np.ndarray) -> np.ndarray:
-    """(G, 32) uint32 quant words -> (G, 32) interleaved words
-    (interleave_words_2bit, src/cuszplus_f32.cu:184-207)."""
+_ILV_CHUNK_GROUPS = 1 << 14  # bit-tensor working set ~16 MB, reused in place
+
+# byte -> 8 bits (little-endian) lookup, and its inverse weights
+_BIT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+)
+_BIT_W = (1 << np.arange(8, dtype=np.uint8)).astype(np.uint8)
+
+
+def _permute_groups(groups: np.ndarray, in_shape, out_axes) -> np.ndarray:
+    """Apply a fixed per-group 32x32 bit-matrix permutation to (G, 32) uint32
+    words. All scratch buffers are preallocated and reused across chunks:
+    this host pays ~15 ms/MB of first-touch page faults on every fresh mmap'd
+    allocation, which dominated the arithmetic in a naive implementation."""
     g = groups.shape[0]
     out = np.empty((g, 32), dtype=np.uint32)
-    lo = groups[:, :16]
-    hi = groups[:, 16:]
-    for s in range(16):
-        sh = np.uint32(2 * s)
-        bits_lo = (lo >> sh) & np.uint32(3)
-        bits_hi = (hi >> sh) & np.uint32(3)
-        out[:, 2 * s] = (bits_lo << _POS2).sum(axis=1, dtype=np.uint32)
-        out[:, 2 * s + 1] = (bits_hi << _POS2).sum(axis=1, dtype=np.uint32)
+    cap = min(g, _ILV_CHUNK_GROUPS)
+    bits = np.empty((cap, 128, 8), dtype=np.uint8)
+    perm = np.empty((cap, 128, 8), dtype=np.uint8)
+    packed = np.empty((cap, 128), dtype=np.uint8)
+    for off in range(0, g, cap):
+        part = groups[off : off + cap]
+        n = part.shape[0]
+        src = part.view(np.uint8).reshape(n, 128)
+        np.take(_BIT_LUT, src, axis=0, out=bits[:n].reshape(n, 128, 8))
+        b = bits[:n].reshape((n,) + in_shape)
+        np.copyto(perm[:n].reshape((n,) + tuple(in_shape[a] for a in out_axes)),
+                  b.transpose((0,) + tuple(a + 1 for a in out_axes)))
+        np.einsum("abc,c->ab", perm[:n].reshape(n, 128, 8), _BIT_W,
+                  out=packed[:n], dtype=np.uint8, casting="unsafe")
+        out[off : off + n] = packed[:n].view("<u4").reshape(n, 32)
     return out
+
+
+def _interleave_2bit(groups: np.ndarray) -> np.ndarray:
+    """(G, 32) uint32 quant words -> (G, 32) interleaved words
+    (interleave_words_2bit, src/cuszplus_f32.cu:184-207).
+
+    The scalar spec — bit pair (2s, 2s+1) of input word i lands at bits
+    (2i', 2i'+1) of output word 2s+c, where i = 16c + i' — is a FIXED
+    permutation of each group's 32x32 bit matrix: with input bit axes
+    (c, i', s, r), the output order is (s, c, i', r)."""
+    return _permute_groups(groups, (2, 16, 16, 2), (2, 0, 1, 3))
 
 
 def _deinterleave_2bit(words: np.ndarray) -> np.ndarray:
     """Inverse of _interleave_2bit (deinterleave_words_2bit,
-    src/cuszplus_f32.cu:296-317)."""
-    g = words.shape[0]
-    out = np.zeros((g, 32), dtype=np.uint32)
-    for s in range(16):
-        sh = np.uint32(2 * s)
-        w_lo = words[:, 2 * s]
-        w_hi = words[:, 2 * s + 1]
-        for i in range(16):
-            pos = np.uint32(2 * i)
-            out[:, i] |= ((w_lo >> pos) & np.uint32(3)) << sh
-            out[:, 16 + i] |= ((w_hi >> pos) & np.uint32(3)) << sh
-    return out
+    src/cuszplus_f32.cu:296-317): input axes (s, c, i', r) -> (c, i', s, r)."""
+    return _permute_groups(words, (16, 2, 16, 2), (1, 2, 0, 3))
 
 
 def _zstd(buf: bytes, level: int = 1) -> bytes:
