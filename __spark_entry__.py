@@ -326,6 +326,65 @@ def _ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: deterministic coarse quantizer
+    (lowest-id vectors), integer-grid list assignment, nprobe=4 probe, exact
+    cosine inside probed lists — the oracle reproduces every step in SQL."""
+    from cuda_float_compress_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(emb, list(qv), k=10, n_lists=16, nprobe=4).select(
+        "vec_id", F.round("cosine", 3).alias("cos3")
+    )
+
+
+def _embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs over the corpus plus 50 injected exact
+    duplicates (deterministic construction the oracle replicates): hyperplane
+    LSH buckets (integer projections), capped, exact cosine verify."""
+    from cuda_float_compress_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(emb.unionByName(dups), min_cosine=0.99)
+
+
+def _pushdown_decode_agg(spark, sf_dir):
+    """End-to-end predicate pushdown through the ENCODED table: encode
+    documents, decode only (lang, n_chars) with an n_chars zone-map predicate
+    (chunks pruned before any payload read), aggregate — the oracle
+    recomputes from the raw table."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["n_chars"])
+        dec = decode_table_direct(
+            spark, out, columns=["lang", "n_chars"],
+            predicates=[("n_chars", ">=", 300)],
+        )
+        res = (
+            dec.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_features(spark, sf_dir):
     """Media plumbing over a deterministic binary column: real format magics
     (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
@@ -486,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _minhash_dedup_pairs,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ivf_topk": _ivf_topk,
+        "embedding_neardup": _embedding_neardup,
+        "pushdown_decode_agg": _pushdown_decode_agg,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
         "events_type_share": _events_type_share,
@@ -897,6 +959,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos6, 3) AS cos3
             FROM scored ORDER BY cos6 DESC, vec_id LIMIT 10
+        """,
+        "ivf_topk": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid,
+                       list_transform(embedding,
+                                      x -> round(x::DOUBLE * 1e6)::BIGINT) AS c
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            grid AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> round(x::DOUBLE * 1e6)::BIGINT) AS q
+                FROM embeddings
+            ),
+            dist AS (
+                SELECT g.vec_id, c.lid,
+                       list_sum(list_transform(list_zip(g.q, c.c),
+                           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+                FROM grid g CROSS JOIN cent c
+            ),
+            assign AS (
+                SELECT vec_id, lid FROM (
+                    SELECT vec_id, lid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, lid) AS rn
+                    FROM dist
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT lid FROM dist WHERE vec_id = 0 ORDER BY d, lid LIMIT 4
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       round(list_dot_product(e.embedding::DOUBLE[], qv)
+                             / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                              e.embedding::DOUBLE[]))
+                                        * sqrt(list_dot_product(qv, qv)), 1e-12), 6)
+                           AS cos6
+                FROM embeddings e, q
+                JOIN assign a ON a.vec_id = e.vec_id
+                WHERE a.lid IN (SELECT lid FROM probes)
+            )
+            SELECT vec_id, round(cos6, 3) AS cos3
+            FROM scored ORDER BY cos6 DESC, vec_id LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH u AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings
+                WHERE vec_id < 50
+            ),
+            planes AS (
+                SELECT i, p,
+                       CASE WHEN substr(md5(i::VARCHAR || '_' || p::VARCHAR),1,1) < '8'
+                            THEN 1 ELSE -1 END AS s
+                FROM range(0, 256) t1(i), range(0, 16) t2(p)
+            ),
+            proj AS (
+                SELECT e.vec_id, pl.p,
+                       sum(round(e.embedding[pl.i + 1]::DOUBLE * 1e6)::BIGINT * pl.s)
+                           AS pr
+                FROM u e JOIN planes pl ON pl.i < len(e.embedding)
+                GROUP BY e.vec_id, pl.p
+            ),
+            bucket AS (
+                SELECT vec_id,
+                       sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END)::INT
+                           AS bkt
+                FROM proj GROUP BY vec_id
+            ),
+            kept AS (
+                SELECT vec_id, bkt FROM (
+                    SELECT vec_id, bkt,
+                           row_number() OVER (PARTITION BY bkt ORDER BY vec_id) rn
+                    FROM bucket
+                ) WHERE rn <= 256
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM kept a JOIN kept b
+                  ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            ),
+            uv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u),
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       round(list_dot_product(a.v, b.v)
+                             / greatest(sqrt(list_dot_product(a.v, a.v))
+                                        * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+                           AS cosine
+                FROM pairs p
+                JOIN uv a ON a.vec_id = p.id_a
+                JOIN uv b ON b.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+        """,
+        "pushdown_decode_agg": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE n_chars >= 300 GROUP BY lang
         """,
         "media_features": """
             SELECT 'doc://d/' || doc_id AS url,

@@ -361,3 +361,36 @@ def test_minhash_components_are_distinct_permutations(spark):
     for i in range(16):
         k = dedup.hash60_py(f"minhash-perm-{i}")
         assert mh[i] == min(h ^ k for h in hs), i
+
+
+def test_ivf_topk_contains_self_and_bounds_probe(spark, emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    out = similarity.ivf_topk(
+        emb, list(row["embedding"]), k=5, n_lists=8, nprobe=2
+    ).collect()
+    assert out and out[0]["vec_id"] == 0  # query's own list is always probed
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    # probing fewer lists can only shrink the candidate set
+    full = similarity.ivf_topk(
+        emb, list(row["embedding"]), k=500, n_lists=8, nprobe=8
+    ).count()
+    part = similarity.ivf_topk(
+        emb, list(row["embedding"]), k=500, n_lists=8, nprobe=2
+    ).count()
+    assert part <= full
+
+
+def test_ivf_assignment_deterministic(spark):
+    rows = [(i, [float(i % 3), float((i * 7) % 5), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [r["embedding"] for r in df.orderBy("vec_id").limit(4).collect()]
+    a1 = {r["vec_id"]: r["l"] for r in df.select(
+        "vec_id", similarity.ivf_assign_col(F.col("embedding"), cents).alias("l")
+    ).collect()}
+    # python twin: integer-grid argmin, lowest index wins ties
+    import numpy as np
+    C = similarity._round_half_away(np.asarray(cents, dtype=np.float64) * 1e6).astype(np.int64)
+    for vid, vec in rows:
+        q = similarity._round_half_away(np.asarray(vec) * 1e6).astype(np.int64)
+        d = ((C - q[None, :]) ** 2).sum(axis=1)
+        assert a1[vid] == int(np.argmin(d)), vid
