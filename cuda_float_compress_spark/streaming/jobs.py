@@ -183,6 +183,54 @@ def encode_stream(
     return q
 
 
+def run_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "24 hours",
+    query_name: str = "session_windows",
+) -> DataFrame:
+    """TRUE streaming sessionization: Structured Streaming's session_window
+    (dynamic gap-close windows) + watermark for late data, per user. The
+    batch twin (sessionize_batch) computes identical sessions with window
+    functions — the pytest cross-checks them, mirroring how the engine's
+    encode pipeline pairs streaming ingest with a batch path."""
+    batch_df = spark.read.parquet(source_dir)
+    if source_dir.endswith(".parquet"):
+        parent, fname = source_dir.rsplit("/", 1)
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", fname)
+            .format("parquet")
+            .load(parent)
+        )
+    else:
+        stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT user_id, win.start AS session_start, n_events "
+        f"FROM {query_name}"
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -394,3 +394,20 @@ def test_ivf_assignment_deterministic(spark):
         q = similarity._round_half_away(np.asarray(vec) * 1e6).astype(np.int64)
         d = ((C - q[None, :]) ** 2).sum(axis=1)
         assert a1[vid] == int(np.argmin(d)), vid
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Structured Streaming session_window == the batch window-function twin
+    (same gap semantics on this data; an event exactly at last+gap would
+    differ — streaming closes at >=, batch at > — none exists in the fixture)."""
+    from cuda_float_compress_spark.streaming import run_session_windows
+
+    stream_out = run_session_windows(
+        spark, f"{SF}/events.parquet", gap_minutes=30, query_name="t_sw"
+    )
+    batch = (
+        sessionize_batch(spark.read.parquet(f"{SF}/events.parquet"), gap_minutes=30)
+        .select("user_id", "session_start", "n_events")
+    )
+    assert stream_out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream_out).count() == 0
