@@ -514,6 +514,45 @@ def _jaccard_consecutive_docs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cands, "doc_id", shingle_k=5)
 
 
+def _q17_small_orders(spark, sf_dir):
+    """TPC-H q17 shape: correlated scalar subquery (per-part avg-quantity
+    threshold), decorrelated the idiomatic Spark way — a pre-aggregated
+    per-key threshold joined back (one extra shuffle keyed like the fact
+    join; the dim filter broadcasts)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    j = (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#4")),
+                li["l_partkey"] == part["p_partkey"])
+        .join(thresh, li["l_partkey"] == thresh["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def _latest_event_per_user(spark, sf_dir):
+    """Windowed dedup: keep each user's latest event (row_number over a
+    descending ts window — the canonical keep-latest pattern)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+        )
+    )
+
+
 def _lang_id_pred(spark, sf_dir):
     from cuda_float_compress_spark.operators.text import with_lang_id
 
@@ -550,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg": _pushdown_decode_agg,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
+        "q17_small_orders": _q17_small_orders,
+        "latest_event_per_user": _latest_event_per_user,
         "events_type_share": _events_type_share,
         "customers_without_orders": _customers_without_orders,
         "order_priority_histogram": _order_priority_histogram,
@@ -796,6 +837,25 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q17_small_orders": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+              )
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "events_type_share": """
             SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share

@@ -27,7 +27,7 @@ def _trial_size(encode, values) -> int:
     return len(payload)
 
 
-def _contiguous_sample(v: np.ndarray, windows: int = 4, width: int = 256) -> np.ndarray:
+def _contiguous_sample(v: np.ndarray, windows: int = 8, width: int = 512) -> np.ndarray:
     """Trial sample as a few CONTIGUOUS windows: a strided sample inflates
     delta/delta-of-delta statistics (stride-k deltas are ~k bigger), which
     mis-ranks predictor codecs on smooth data."""

@@ -183,3 +183,23 @@ def test_compat_device_arg_without_torch():
     if not has_torch:
         with pytest.raises(ValueError, match="torch"):
             compat.cuszplus_decompress(blob, device="cuda")
+
+
+def test_refformat_error_paths():
+    from cuda_float_compress_spark import refformat as R
+
+    with pytest.raises(ValueError, match="too small"):
+        R.probe_ref(b"\x03\x02")
+    with pytest.raises(ValueError, match="bad magic"):
+        R.decompress_ref(b"\x00\x00\x00\x00" + b"\x00" * 20)
+    good = R.compress_ref(np.ones(1000, dtype=np.float32))
+    with pytest.raises(Exception):  # truncated zstd frame / size mismatch
+        R.decompress_ref(good[: len(good) - 8])
+    # payload expanding to the wrong size must fail loudly (:632-636)
+    import struct
+    import pyarrow as pa
+    bad = struct.pack("<IIf", R.REF_MAGIC, 1000, 2e-4) + pa.Codec(
+        "zstd", compression_level=1
+    ).compress(b"\x00" * 100, asbytes=True)
+    with pytest.raises(Exception):
+        R.decompress_ref(bad)
