@@ -560,13 +560,17 @@ def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
         keys = np.array([p[0] for p in pairs], dtype=np.uint64)
         codes = np.array([p[1] for p in pairs], dtype=np.uint8)
         masked = w64 & np.uint64((1 << (8 * length)) - 1 if length < 8 else (1 << 64) - 1)
-        cand = (match_len == 0) & np.isin(masked, keys)
+        # membership via searchsorted against the (tiny) sorted key set:
+        # O(n log k). np.isin would sort the n-element array per length —
+        # the encode hot-spot in profiling.
+        pos = np.searchsorted(keys, masked)
+        np.minimum(pos, len(keys) - 1, out=pos)
+        cand = (keys[pos] == masked) & (match_len == 0)
         if length > 1:  # don't match past the end of data
             cand[n - length + 1 :] = False
         if cand.any():
-            idx = np.searchsorted(keys, masked[cand])
             match_len[cand] = length
-            match_code[cand] = codes[idx]
+            match_code[cand] = codes[pos[cand]]
 
     # greedy parse: next[i] = i + max(match_len[i], 1); the parse positions
     # are the chain from 0 under next[], extracted segment-locally with

@@ -411,3 +411,17 @@ def test_streaming_session_windows_match_batch(spark):
     )
     assert stream_out.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream_out).count() == 0
+
+
+def test_codec_trials_udtf(spark):
+    """Python UDTF surface: one row per byte-codec with its trial size."""
+    from cuda_float_compress_spark.functions import codec_trials_udtf
+
+    spark.udtf.register("codec_trials", codec_trials_udtf())
+    rows = spark.sql(
+        "SELECT * FROM codec_trials('the quick brown fox jumps over the dog')"
+    ).collect()
+    names = {r["codec"] for r in rows}
+    assert {"bytes_raw", "bytes_zstd", "bytes_fsst", "bytes_dict",
+            "bytes_rle"} <= names
+    assert all(r["enc_bytes"] > 0 and r["raw_bytes"] == 38 for r in rows)
