@@ -110,15 +110,31 @@ def cuszplus_compress(values, max_error: float = 1e-4) -> bytes:
 # 32768 floats, src/cuszplus_f32.cu:21-28)
 _CHUNK = 1 << 21
 
+# chunk-parallel threads for the single-array API: numpy kernels and pyarrow
+# zstd release the GIL, and chunks are independent (same property the Spark
+# engine exploits across executors). Default 1 = reference-like single
+# stream; CUSZPLUS_THREADS=N opts in.
+import os as _os
 
-def _encode_chunked(v: np.ndarray, enc) -> tuple[list[bytes], list[dict]]:
-    payloads, params = [], []
-    for off in range(0, max(len(v), 1), _CHUNK):
-        chunk = v[off : off + _CHUNK]
-        p, prm = enc(chunk)
-        payloads.append(p)
-        params.append(prm)
-    return payloads, params
+_THREADS = max(1, int(_os.environ.get("CUSZPLUS_THREADS", "1")))
+
+
+def _map_chunks(fn, jobs: list, threads: int | None = None) -> list:
+    threads = _THREADS if threads is None else threads
+    if threads <= 1 or len(jobs) <= 1:
+        return [fn(j) for j in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
+        return list(ex.map(fn, jobs))
+
+
+def _encode_chunked(
+    v: np.ndarray, enc, threads: int | None = None
+) -> tuple[list[bytes], list[dict]]:
+    chunks = [v[off : off + _CHUNK] for off in range(0, max(len(v), 1), _CHUNK)]
+    results = _map_chunks(enc, chunks, threads)
+    return [p for p, _ in results], [prm for _, prm in results]
 
 
 def pack_chunks(payloads: list[bytes]) -> bytes:
@@ -129,10 +145,11 @@ def _decode_chunked(payload: bytes, params: dict, n: int, dec) -> np.ndarray:
     sections = core.unpack_sections(payload)
     parts = params["parts"]
     chunk = int(params["chunk"])
-    out = []
-    for i, (sec, prm) in enumerate(zip(sections, parts)):
-        m = min(chunk, n - i * chunk)
-        out.append(dec(sec, prm, m))
+    jobs = [
+        (sec, prm, min(chunk, n - i * chunk))
+        for i, (sec, prm) in enumerate(zip(sections, parts))
+    ]
+    out = _map_chunks(lambda j: dec(j[0], j[1], j[2]), jobs)
     return np.concatenate(out) if out else dec(b"", parts[0] if parts else {}, 0)
 
 
