@@ -50,19 +50,43 @@ def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/blocks")
 
 
-def committed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Commit history of an encoded dir (Iceberg-style snapshot listing):
+    one row per committed run with its finish time, parts, and sizes."""
+    lin = spark.read.parquet(f"{out_dir}/lineage").filter(F.col("status") == "done")
+    return (
+        lin.groupBy("run_id")
+        .agg(
+            F.max("finished_at").alias("committed_at"),
+            F.count("*").alias("n_parts"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("committed_at")
+    )
+
+
+def committed_blocks(
+    spark: SparkSession, out_dir: str, as_of: float | None = None
+) -> DataFrame:
     """Blocks whose (part_id, run_id) is committed ('done') in lineage.
     Stale partials from a crashed run — blocks appended, lineage never
     written — are filtered out here (metadata-scale broadcast semi-join).
-    Dirs without lineage (externally assembled blocks) are trusted as-is."""
+    Dirs without lineage (externally assembled blocks) are trusted as-is.
+
+    ``as_of`` (epoch seconds): TIME TRAVEL for the append-only table — trust
+    only runs committed at or before that instant, reproducing the table
+    exactly as a reader at that time saw it (Iceberg-snapshot semantics on
+    the lineage metadata)."""
     blocks = blocks_of(spark, out_dir)
     try:
-        lin = (
-            spark.read.parquet(f"{out_dir}/lineage")
-            .filter(F.col("status") == "done")
-            .select("part_id", "run_id")
-            .distinct()
+        lin = spark.read.parquet(f"{out_dir}/lineage").filter(
+            F.col("status") == "done"
         )
+        if as_of is not None:
+            lin = lin.filter(F.col("finished_at") <= float(as_of))
+        lin = lin.select("part_id", "run_id").distinct()
     except Exception:
         return blocks
     return blocks.join(F.broadcast(lin), ["part_id", "run_id"], "left_semi")
@@ -158,12 +182,15 @@ def decode_table(
     columns: list[str] | None = None,
     keep_part_id: bool = False,
     predicates: list[tuple] | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
     payload is read (the encoded format's analog of parquet predicate
-    pushdown), then apply the exact filter to the decoded rows."""
-    blocks = committed_blocks(spark, out_dir)
+    pushdown), then apply the exact filter to the decoded rows. ``as_of``
+    (epoch seconds) time-travels the append-only table to a past snapshot
+    (see committed_blocks)."""
+    blocks = committed_blocks(spark, out_dir, as_of=as_of)
     cols = table_columns(blocks)
     if predicates:
         keys = qualifying_chunks(blocks, predicates)

@@ -225,3 +225,30 @@ def test_compact_merges_stream_chunks(spark, tmp_path):
     original = spark.read.parquet(src)
     rep = verify_roundtrip(original, decoded, "url").collect()
     assert all(r["ok"] for r in rep), rep
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    """Append-only snapshots: multi-epoch streaming ingest, then decode
+    `as_of` an early commit time reproduces exactly the rows that were
+    committed then (Iceberg-snapshot semantics over lineage metadata)."""
+    from cuda_float_compress_spark.operators.decode import snapshots
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "tt_src")
+    out = str(tmp_path / "tt_out")
+    generate_webpages_df(spark, 600, partitions=3).write.parquet(src)
+    encode_stream(spark, src, out, n_parts=2, max_files_per_trigger=1)
+    snaps = snapshots(spark, out).collect()
+    assert len(snaps) >= 2
+    total_rows = sum(s["n_rows"] for s in snaps)
+    assert decode_table(spark, out).count() == 600 == total_rows
+    # as of the FIRST commit: only that epoch's rows are visible
+    first = snaps[0]
+    early = decode_table(spark, out, as_of=first["committed_at"])
+    assert early.count() == first["n_rows"] < 600
+    # and those rows are bit-identical to the source subset
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(
+        original.join(early.select("url"), "url", "left_semi"), early, "url"
+    ).collect()
+    assert all(r["ok"] for r in rep), rep
