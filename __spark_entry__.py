@@ -271,6 +271,20 @@ def _quality_scores(spark, sf_dir):
     )
 
 
+def _bpe_token_counts(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
+def _rolling_fingerprints(spark, sf_dir):
+    from cuda_float_compress_spark.operators.text import with_rolling_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_rolling_fingerprint(docs).select("doc_id", "rolling_fp")
+
+
 def _doc_fingerprints(spark, sf_dir):
     from cuda_float_compress_spark.operators.text import with_fingerprint
 
@@ -577,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_consecutive_docs": _jaccard_consecutive_docs,
         "dup_text_groups": _dup_text_groups,
         "token_counts": _token_counts,
+        "bpe_token_counts": _bpe_token_counts,
+        "rolling_fingerprints": _rolling_fingerprints,
         "quality_scores": _quality_scores,
         "doc_fingerprints": _doc_fingerprints,
         "lang_id_pred": _lang_id_pred,
@@ -775,6 +791,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                    END AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   ))::INT AS n_bpe_tokens
+            FROM documents
+        """,
+        "rolling_fingerprints": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                                    [ascii(text[i]) for i in range(1, length(text) + 1)]),
+                       (acc, c) -> (acc * 31 + c) % 1000000007
+                   )::BIGINT AS rolling_fp
             FROM documents
         """,
         "quality_scores": """

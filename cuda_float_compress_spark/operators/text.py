@@ -33,6 +33,47 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", token_count_col(F.col(text_col)))
 
 
+# GPT-2-style pre-tokenizer pattern (simplified, ASCII apostrophes):
+# contractions | space?+letters | space?+digits | space?+other | whitespace.
+# Uses only constructs Java regex and RE2 (DuckDB) tokenize identically —
+# verified mismatch-free across the multilingual corpus.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer regex — the cheap LLM-token estimator a training-data
+    pipeline budgets with (whitespace counting undercounts CJK/punctuation)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_bpe_tokens", bpe_token_count_col(F.col(text_col)))
+
+
+def rolling_hash_col(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over codepoints:
+    h = fold(h*base + codepoint) mod p. All JVM expressions; a SQL oracle
+    folds the identical recurrence (DuckDB list_reduce), so the value is
+    engine-portable — unlike md5, it also supports incremental/windowed
+    updates, the property rolling-hash fingerprints exist for."""
+    folded = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: F.ascii(text.substr(i, F.lit(1))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("rolling_fp", rolling_hash_col(F.col(text_col)))
+
+
 def quality_score_cols(text: Column) -> dict[str, Column]:
     """Length / punctuation / uppercase / digit ratios + mean word length —
     the standard cheap quality signals (C4/Gopher-style heuristics, public)."""

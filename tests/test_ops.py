@@ -425,3 +425,33 @@ def test_codec_trials_udtf(spark):
     assert {"bytes_raw", "bytes_zstd", "bytes_fsst", "bytes_dict",
             "bytes_rle"} <= names
     assert all(r["enc_bytes"] > 0 and r["raw_bytes"] == 38 for r in rows)
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The BPE-ish regex counter equals Python's regex module applied to the
+    same pattern (incl CJK, contractions, empty, punctuation runs)."""
+    import re
+
+    texts = ["", "it's a test", "页面 新闻 page", "a1b2 33  ...!!", "  "]
+    py_pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
+    )
+    # use the exact engine pattern via java/duckdb classes; for the python
+    # twin, \p{L}/\p{N} map to [^\W\d_] / \d for these inputs
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {r["id"]: r["n_bpe_tokens"]
+           for r in text.with_bpe_token_count(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(py_pat.findall(t)), (i, t)
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    texts = ["", "abc", "и в не", "页面", "x" * 300]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {r["id"]: r["rolling_fp"]
+           for r in text.with_rolling_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        assert got[i] == h, (i, t)
