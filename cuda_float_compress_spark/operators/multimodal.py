@@ -172,6 +172,101 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index gather) — the real resize
+    step of an image-preprocessing pipeline (bilinear would change pixel
+    values; nearest keeps them exact and deterministic)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows[:, None], cols[None, :]]
+
+
+def audio_features(payload: bytes) -> dict:
+    """PCM-16 WAV features: duration, RMS, peak — the cheap quality signals
+    an audio-corpus pipeline filters on."""
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(samples.shape[0]),
+        "channels": int(samples.shape[1]),
+        "duration_sec": round(samples.shape[0] / rate, 6),
+        "rms": round(float(np.sqrt((x * x).mean())) if x.size else 0.0, 6),
+        "peak": round(float(np.abs(x).max()) if x.size else 0.0, 6),
+    }
+
+
+IMAGE_THUMB_SCHEMA = (
+    "url string, width int, height int, thumb_w int, thumb_h int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_thumbnails(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload",
+    thumb: int = 8,
+) -> DataFrame:
+    """mapInPandas image pipeline: REAL decode (BMP/PPM) -> nearest-neighbor
+    resize -> per-channel means. Non-image payloads are skipped (a training
+    pipeline routes by sniffed type first)."""
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf[url_col], pdf[bin_col]):
+                b = b if b is not None else b""
+                if b[:2] not in (b"BM", b"P6"):
+                    continue
+                try:
+                    img = decode_image(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                th = resize_image(img, thumb, thumb)
+                m = th.reshape(-1, 3).mean(axis=0)
+                rows.append((u, img.shape[1], img.shape[0], thumb, thumb,
+                             round(float(m[0]), 4), round(float(m[1]), 4),
+                             round(float(m[2]), 4)))
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "thumb_w", "thumb_h",
+                               "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(work, schema=IMAGE_THUMB_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "url string, sample_rate int, n_samples int, channels int, "
+    "duration_sec double, rms double, peak double"
+)
+
+
+def audio_feature_table(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas audio pipeline over WAV payloads (real PCM-16 decode)."""
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf[url_col], pdf[bin_col]):
+                b = bytes(b) if b is not None else b""
+                if b[:4] != b"RIFF":
+                    continue
+                try:
+                    f = audio_features(b)
+                except ValueError:
+                    continue
+                rows.append((u, f["sample_rate"], f["n_samples"], f["channels"],
+                             f["duration_sec"], f["rms"], f["peak"]))
+            yield pd.DataFrame(
+                rows, columns=["url", "sample_rate", "n_samples", "channels",
+                               "duration_sec", "rms", "peak"],
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(work, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame, url_col: str = "url", bin_col: str = "html", fake_decode: bool = True
 ) -> DataFrame:

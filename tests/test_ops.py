@@ -455,3 +455,43 @@ def test_rolling_fingerprint_matches_python(spark):
         for ch in t:
             h = (h * 31 + ord(ch)) % 1_000_000_007
         assert got[i] == h, (i, t)
+
+
+def test_image_thumbnails_and_audio_features(spark):
+    """Real image resize + audio feature pipelines over genuine BMP/WAV
+    bytes, through the Spark mapInPandas surface."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+    bmp = multimodal.encode_bmp(img)
+    tone = (np.sin(np.arange(8000) / 8) * 16000).astype(np.int16)
+    wav = multimodal.encode_wav(tone, rate=8000)
+    df = spark.createDataFrame(
+        [("img1", bytearray(bmp)), ("aud1", bytearray(wav)), ("junk", b"zz")],
+        "url string, payload binary",
+    )
+    thumbs = {r["url"]: r for r in multimodal.image_thumbnails(df).collect()}
+    assert set(thumbs) == {"img1"}
+    t = thumbs["img1"]
+    assert (t["width"], t["height"], t["thumb_w"]) == (16, 32, 8)
+    exp = multimodal.resize_image(img, 8, 8).reshape(-1, 3).mean(axis=0)
+    assert abs(t["mean_r"] - exp[0]) < 1e-3
+
+    auds = {r["url"]: r for r in multimodal.audio_feature_table(df).collect()}
+    assert set(auds) == {"aud1"}
+    a = auds["aud1"]
+    assert a["sample_rate"] == 8000 and a["n_samples"] == 8000
+    assert a["duration_sec"] == 1.0
+    assert 0.3 < a["rms"] < 0.8 and a["peak"] <= 0.5
+
+
+def test_resize_image_exact_nearest():
+    import numpy as np
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = multimodal.resize_image(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[::2, ::2], img)  # exact pixel preservation
+    down = multimodal.resize_image(img, 2, 2)
+    assert np.array_equal(down, img[::2, ::2])
