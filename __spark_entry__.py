@@ -42,6 +42,48 @@ def _minhash_perm_sql() -> str:
 
 _MINHASH_PERM_SQL = _minhash_perm_sql()
 
+# shared CTE chain recomputing the engine's 60-bit SimHash signatures,
+# 15-bit-block LSH buckets (capped), and candidate pairs in DuckDB SQL —
+# used by both the simhash_pairs oracle and the dup_components oracle
+_SIMHASH_CTES = """
+            tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform(toks, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hv
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, len(hv) AS n, b,
+                       len(list_filter(hv, h -> (h >> b) & 1 = 1)) AS ones
+                FROM th, range(0, 60) t(b)
+            ),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN n > 0 AND ones * 2 >= n
+                                THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+                SELECT doc_id, c, (simhash >> (15*c)) & 32767 AS key
+                FROM sig, range(0, 4) t(c)
+            ),
+            buckets AS (
+                SELECT c, key, list_slice(list_sort(list(doc_id)), 1, 128) AS members
+                FROM blocks GROUP BY c, key
+            ),
+            cand AS (
+                SELECT DISTINCT pair[1] AS id_a, pair[2] AS id_b FROM (
+                    SELECT unnest(flatten([[[x, y] for y in members if x < y]
+                                           for x in members])) AS pair
+                    FROM buckets WHERE len(members) > 1
+                )
+            )"""
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -330,6 +372,24 @@ def _simhash_pairs(spark, sf_dir):
     return simhash_near_dups(docs, "doc_id", max_hamming=3)
 
 
+def _dup_components(spark, sf_dir):
+    """Duplicate-group assembly: SimHash near-dup pairs -> connected
+    components (iterative min-label propagation) -> one component id per
+    document. The oracle computes the identical fixpoint with a recursive
+    CTE over the same pair graph."""
+    from cuda_float_compress_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dups,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, "doc_id", max_hamming=3)
+    comp = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id")), "id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def _ann_lsh_topk(spark, sf_dir):
     from cuda_float_compress_spark.operators.similarity import ann_lsh_topk
 
@@ -599,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _embedding_topk,
         "minhash_dedup_pairs": _minhash_dedup_pairs,
         "simhash_pairs": _simhash_pairs,
+        "dup_components": _dup_components,
         "ann_lsh_topk": _ann_lsh_topk,
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
@@ -967,50 +1028,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
         """,
-        "simhash_pairs": """
-            WITH tok AS (
-                SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN []
-                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
-                FROM documents
-            ),
-            th AS (
-                SELECT doc_id,
-                       list_transform(toks, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hv
-                FROM tok
-            ),
-            bits AS (
-                SELECT doc_id, len(hv) AS n, b,
-                       len(list_filter(hv, h -> (h >> b) & 1 = 1)) AS ones
-                FROM th, range(0, 60) t(b)
-            ),
-            sig AS (
-                SELECT doc_id,
-                       sum(CASE WHEN n > 0 AND ones * 2 >= n
-                                THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-                FROM bits GROUP BY doc_id
-            ),
-            blocks AS (
-                SELECT doc_id, c, (simhash >> (15*c)) & 32767 AS key
-                FROM sig, range(0, 4) t(c)
-            ),
-            buckets AS (
-                SELECT c, key, list_slice(list_sort(list(doc_id)), 1, 128) AS members
-                FROM blocks GROUP BY c, key
-            ),
-            cand AS (
-                SELECT DISTINCT pair[1] AS id_a, pair[2] AS id_b FROM (
-                    SELECT unnest(flatten([[[x, y] for y in members if x < y]
-                                           for x in members])) AS pair
-                    FROM buckets WHERE len(members) > 1
-                )
-            )
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTES}
             SELECT c.id_a, c.id_b,
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
             FROM cand c
             JOIN sig a ON a.doc_id = c.id_a
             JOIN sig b ON b.doc_id = c.id_b
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE {_SIMHASH_CTES},
+            spairs AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.id_a
+                JOIN sig b ON b.doc_id = c.id_b
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM spairs
+                UNION
+                SELECT id_b, id_a FROM spairs
+            ),
+            reach(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            )
+            SELECT id AS doc_id, min(label) AS component
+            FROM reach GROUP BY id
         """,
         "ann_lsh_topk": """
             WITH planes AS (

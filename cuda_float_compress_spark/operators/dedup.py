@@ -349,6 +349,107 @@ def simhash_near_dups(
     )
 
 
+# --- duplicate components: pairs -> groups -> keep-list ----------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label connected components over a (id_a, id_b) pair graph:
+    every node's component = the smallest id reachable from it. Iterative
+    label propagation (each round: label <- min(label, neighbors' labels)),
+    stopping when a round changes nothing — the standard large-scale
+    pattern (GraphFrames-style) in plain DataFrame joins; duplicate clusters
+    are shallow, so rounds ~ O(log(cluster diameter)).
+
+    ``nodes``: one column ``id_col`` with every node (singletons keep their
+    own id as component). Deterministic — a SQL oracle's recursive CTE
+    computes the identical fixpoint."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+        # star contraction: rewrite edges through the current labels so later
+        # rounds hop between component representatives — O(log diameter)
+        # rounds instead of O(diameter) one-hop propagation
+        ls = labels.select(F.col("id").alias("src"), F.col("label").alias("slabel"))
+        ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel"))
+        edges = (
+            edges.join(ls, "src").join(ld, "dst")
+            .select(F.col("slabel").alias("src"), F.col("dlabel").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # resolve label chains by pointer jumping (label <- label[label]):
+    # contraction leaves nodes pointing at intermediate representatives;
+    # pointers strictly decrease, so this doubles chain depth per round
+    for _ in range(max_iter):
+        a = labels.alias("a")
+        b = labels.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = a.join(b, F.col("a.label") == F.col("pid")).select(
+            F.col("a.id").alias("id"), F.col("plabel").alias("label")
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_keep_list(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """The deduplicated corpus keep-list: one representative (min id) per
+    duplicate component; singletons keep themselves."""
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, nodes)
+    return comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+
+
 # --- embedding-cosine near-dup ------------------------------------------------
 
 

@@ -495,3 +495,56 @@ def test_resize_image_exact_nearest():
     assert np.array_equal(up[::2, ::2], img)  # exact pixel preservation
     down = multimodal.resize_image(img, 2, 2)
     assert np.array_equal(down, img[::2, ::2])
+
+
+def test_connected_components_and_keep_list(spark):
+    """Chain a-b, b-c plus isolated d: one component {1,2,3} labeled 1,
+    singleton 4 labels itself; keep-list = {1, 4}."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], ["id"])
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs, nodes).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4]],
+                                 ["doc_id", "text"])
+    keep = {r["doc_id"] for r in dedup.dedup_keep_list(docs, pairs, "doc_id").collect()}
+    assert keep == {1, 4}
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph: min label must traverse the full diameter
+    (exercises the doubling rounds, not just 1-hop propagation)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(40)], ["id"])
+    comp = dedup.connected_components(pairs, nodes)
+    assert comp.filter(F.col("component") != 0).count() == 0
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graphs cross-checked against a python union-find oracle."""
+    import random
+
+    rnd = random.Random(77)
+    n = 120
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs, nodes).collect()}
+    assert got == expected
