@@ -99,6 +99,44 @@ def reencode_columns(
     return {"run_id": run_id, "raw_bytes": agg["raw"], "enc_bytes": agg["enc"]}
 
 
+def vacuum(spark: SparkSession, out_dir: str) -> dict:
+    """Garbage-collect stale block rows: crashed/retried runs append blocks
+    whose (part_id, run_id) never commits to lineage — decode already
+    ignores them (committed_blocks), but they occupy storage forever.
+    Rewrites the blocks dir keeping only committed rows, then swaps
+    directories (readers of the old dir finish against the old files; the
+    Iceberg-style answer is the same swap done via metadata).
+
+    Returns {'rows_before', 'rows_after', 'bytes_reclaimed'}."""
+    import os
+    import shutil
+
+    from cuda_float_compress_spark.operators.decode import committed_blocks
+
+    blocks_dir = f"{out_dir}/blocks"
+    before = spark.read.parquet(blocks_dir)
+    rows_before = before.count()
+    bytes_before = before.agg(F.sum("enc_bytes")).collect()[0][0] or 0
+    kept = committed_blocks(spark, out_dir)
+    rows_after = kept.count()
+    bytes_after = kept.agg(F.sum("enc_bytes")).collect()[0][0] or 0
+    if rows_after == rows_before:
+        return {"rows_before": rows_before, "rows_after": rows_after,
+                "bytes_reclaimed": 0}
+    tmp = f"{out_dir}/blocks_vacuum_tmp"
+    old = f"{out_dir}/blocks_vacuum_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(tmp)
+    os.rename(blocks_dir, old)
+    os.rename(tmp, blocks_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "bytes_reclaimed": int(bytes_before - bytes_after),
+    }
+
+
 def codec_histogram(spark: SparkSession, out_dir: str):
     """Per-column codec usage — the manifest query an operator runs before
     deciding a re-encode."""

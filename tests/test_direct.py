@@ -252,3 +252,27 @@ def test_time_travel_snapshots(spark, tmp_path):
         original.join(early.select("url"), "url", "left_semi"), early, "url"
     ).collect()
     assert all(r["ok"] for r in rep), rep
+
+
+def test_vacuum_reclaims_stale_blocks(spark, tmp_path, scratch):
+    from cuda_float_compress_spark.operators.maintain import vacuum
+
+    src = str(tmp_path / "vac_src")
+    generate_webpages_df(spark, 800, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False, target_rows_per_split=400)
+    blocks = spark.read.parquet(f"{scratch}/blocks")
+    n_committed = blocks.count()
+    blocks.withColumn("run_id", F.lit("crashed")).write.mode("append").parquet(
+        f"{scratch}/blocks"
+    )
+    stats = vacuum(spark, scratch)
+    assert stats["rows_before"] == 2 * n_committed
+    assert stats["rows_after"] == n_committed
+    assert stats["bytes_reclaimed"] > 0
+    assert spark.read.parquet(f"{scratch}/blocks").count() == n_committed
+    # table still decodes bit-identical after the swap
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decode_table(spark, scratch), "url").collect()
+    assert all(r["ok"] for r in rep), rep
+    # idempotent: second vacuum reclaims nothing
+    assert vacuum(spark, scratch)["bytes_reclaimed"] == 0
