@@ -46,6 +46,17 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("--key", default="url")
     ver.add_argument("--cores", type=int, default=None)
 
+    for name in ("vacuum", "snapshots"):
+        p = sub.add_parser(name)
+        p.add_argument("--out", required=True, help="encoded dir")
+        p.add_argument("--cores", type=int, default=None)
+
+    cmp_ = sub.add_parser("compact")
+    cmp_.add_argument("--out", required=True, help="source encoded dir")
+    cmp_.add_argument("--dest", required=True, help="compacted encoded dir")
+    cmp_.add_argument("--chunk-rows", type=int, default=32_768)
+    cmp_.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -94,6 +105,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(report))
             if not all(r["ok"] for r in report):
                 return 1
+        elif args.cmd == "vacuum":
+            from cuda_float_compress_spark.operators.maintain import vacuum
+
+            print(json.dumps(vacuum(spark, args.out)))
+        elif args.cmd == "snapshots":
+            from cuda_float_compress_spark.operators.decode import snapshots
+
+            print(json.dumps([r.asDict() for r in snapshots(spark, args.out).collect()]))
+        elif args.cmd == "compact":
+            from cuda_float_compress_spark.operators.maintain import compact
+
+            print(json.dumps(
+                compact(spark, args.out, args.dest, chunk_rows=args.chunk_rows)
+            ))
         return 0
     finally:
         if not pre_existing:  # don't tear down a session we merely joined

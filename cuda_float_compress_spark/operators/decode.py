@@ -183,14 +183,18 @@ def decode_table(
     keep_part_id: bool = False,
     predicates: list[tuple] | None = None,
     as_of: float | None = None,
+    parts: list[int] | None = None,
 ) -> DataFrame:
     """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
     payload is read (the encoded format's analog of parquet predicate
     pushdown), then apply the exact filter to the decoded rows. ``as_of``
     (epoch seconds) time-travels the append-only table to a past snapshot
-    (see committed_blocks)."""
+    (see committed_blocks). ``parts`` restricts the decode to a part-id
+    subset (incremental consumers: the part_id is the unit of progress)."""
     blocks = committed_blocks(spark, out_dir, as_of=as_of)
+    if parts is not None:
+        blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     cols = table_columns(blocks)
     if predicates:
         keys = qualifying_chunks(blocks, predicates)
@@ -211,7 +215,8 @@ def decode_table(
     col_ptypes = dict(cols)
 
     def decode_chunk(key: tuple, tbl: pa.Table) -> pa.Table:
-        part_id = key[0]
+        # applyInArrow passes grouping keys as pyarrow scalars
+        part_id = key[0].as_py() if hasattr(key[0], "as_py") else int(key[0])
         by_col = {}
         n_rows = None
         payloads = tbl.column("payload").to_pylist()

@@ -276,3 +276,59 @@ def test_vacuum_reclaims_stale_blocks(spark, tmp_path, scratch):
     assert all(r["ok"] for r in rep), rep
     # idempotent: second vacuum reclaims nothing
     assert vacuum(spark, scratch)["bytes_reclaimed"] == 0
+
+
+def test_decode_parts_subset(spark, tmp_path, scratch):
+    src = str(tmp_path / "ps_src")
+    generate_webpages_df(spark, 1000, partitions=4).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False, target_rows_per_split=250)
+    from cuda_float_compress_spark.operators.decode import committed_blocks
+
+    all_parts = sorted(
+        r["part_id"]
+        for r in committed_blocks(spark, scratch).select("part_id").distinct().collect()
+    )
+    assert len(all_parts) >= 3
+    subset = all_parts[:2]
+    dec = decode_table(spark, scratch, parts=subset, keep_part_id=True)
+    got_parts = {r["part_id"] for r in dec.select("part_id").distinct().collect()}
+    assert got_parts == set(subset)
+    # subset rows are bit-identical to the matching source rows
+    original = spark.read.parquet(src)
+    sub = dec.drop("part_id")
+    rep = verify_roundtrip(
+        original.join(sub.select("url"), "url", "left_semi"), sub, "url"
+    ).collect()
+    assert all(r["ok"] for r in rep), rep
+
+
+def test_huge_single_value_roundtrip(spark, tmp_path, scratch):
+    """One 20 MB html value in a row: chunk byte-capping and the Arrow batch
+    limits must pass it through intact (a single row can never be split)."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    rng = np.random.default_rng(5)
+    big = rng.bytes(20 * 1024 * 1024)
+    rows = [("u0", big), ("u1", b"small"), ("u2", b"")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    encode_table(spark, df, scratch, n_parts=2, resume=False)
+    got = {r["url"]: bytes(r["html"]) for r in decode_table(spark, scratch).collect()}
+    assert got["u0"] == big and got["u1"] == b"small" and got["u2"] == b""
+
+
+def test_cli_maintenance_commands(spark, tmp_path, capsys):
+    from cuda_float_compress_spark import cli
+
+    src = str(tmp_path / "m_src")
+    out = str(tmp_path / "m_out")
+    packed = str(tmp_path / "m_packed")
+    generate_webpages_df(spark, 400, partitions=1).write.parquet(src)
+    assert cli.main(["encode", "--input", src, "--out", out, "--mode", "direct",
+                     "--cores", "4"]) == 0
+    assert cli.main(["snapshots", "--out", out, "--cores", "4"]) == 0
+    assert cli.main(["vacuum", "--out", out, "--cores", "4"]) == 0
+    assert cli.main(["compact", "--out", out, "--dest", packed,
+                     "--cores", "4"]) == 0
+    assert decode_table(spark, packed).count() == 400
