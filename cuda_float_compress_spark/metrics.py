@@ -1,10 +1,14 @@
 """Per-stage metrics: Spark accumulators incremented inside the Arrow UDF
 workers + driver-side wall-clock per stage.
 
-On a real cluster these surface in the Spark UI (named accumulators appear on
-the stage page); here they also feed the metrics table and bench output.
-Mirrors the reference's per-stage timing harness
-(interleave_test/interleave_test.cu:424-517, median-of-N reporting).
+Accumulator values feed the engine's metrics snapshots, lineage, and bench
+output. In the Spark UI, observability comes from (a) the SQL tab's native
+metrics on every exchange/scan/write of the encode plan, and (b)
+``pyspark.sql.Observation`` metrics on operators that declare them (the LSH
+bucket-cap drop counts in operators/dedup.py) — Python accumulators
+themselves are driver-side only (the Scala named-accumulator UI surface has
+no PySpark registration API). Mirrors the reference's per-stage timing
+harness (interleave_test/interleave_test.cu:424-517, median-of-N reporting).
 """
 
 from __future__ import annotations
