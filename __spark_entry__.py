@@ -627,6 +627,37 @@ def _latest_event_per_user(spark, sf_dir):
     )
 
 
+def _asof_event_snapshot(spark, sf_dir):
+    """As-of join (Spark lacks the primitive; composed as union-tag + one
+    running last() window — a single shuffle): every event picks up the
+    latest per-user snapshot value at-or-before its timestamp. Oracle:
+    DuckDB's NATIVE ASOF JOIN computes the identical result."""
+    from cuda_float_compress_spark.operators.relational import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    snaps = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(left, snaps, "user_id", "ts", ["snap_value"])
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "asof_snap_value",
+    )
+
+
+def _kmv_distinct_texts(spark, sf_dir):
+    """KMV distinct sketch over document texts (deterministic md5-60bit
+    k-minimum values — unlike HLL, the oracle reproduces the estimate
+    exactly)."""
+    from cuda_float_compress_spark.operators.relational import kmv_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "text", k=128)
+
+
 def _lang_id_pred(spark, sf_dir):
     from cuda_float_compress_spark.operators.text import with_lang_id
 
@@ -668,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_change": _q6_revenue_change,
         "q17_small_orders": _q17_small_orders,
         "latest_event_per_user": _latest_event_per_user,
+        "asof_event_snapshot": _asof_event_snapshot,
+        "kmv_distinct_texts": _kmv_distinct_texts,
         "events_type_share": _events_type_share,
         "customers_without_orders": _customers_without_orders,
         "order_priority_histogram": _order_priority_histogram,
@@ -949,6 +982,29 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "asof_event_snapshot": """
+            WITH snaps AS (
+                SELECT user_id, ts, max(value) AS snap_value
+                FROM events WHERE event_id % 20 = 0 GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   s.snap_value AS asof_snap_value
+            FROM events e ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "kmv_distinct_texts": """
+            WITH h AS (
+                SELECT DISTINCT ('0x' || substr(md5(text),1,15))::BIGINT AS h
+                FROM documents
+            ),
+            k AS (SELECT h FROM h ORDER BY h LIMIT 128),
+            a AS (SELECT count(*) AS n_kept, max(h) AS kth FROM k)
+            SELECT CASE WHEN n_kept < 128 THEN n_kept::DOUBLE
+                        ELSE round(127.0 * 1152921504606846976.0 / kth, 2)
+                   END AS distinct_estimate,
+                   n_kept
+            FROM a
         """,
         "events_type_share": """
             SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share

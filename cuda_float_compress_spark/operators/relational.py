@@ -1,0 +1,90 @@
+"""Operators Spark's DataFrame API lacks as primitives, composed from
+built-ins (the task brief's category: as-of join, sketches).
+
+Both are deterministic and SQL-oracle-checkable: the as-of join against
+DuckDB's native ASOF JOIN, the KMV sketch against the same k-minimum
+md5-60bit hash computation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from cuda_float_compress_spark.operators.dedup import HASH_BITS, hash60_col
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """LEFT as-of join: every left row gets the value columns of the LATEST
+    right row with the same key and right.ts <= left.ts (inclusive).
+
+    Spark has no ASOF JOIN primitive; the scale-correct composition is
+    union-tag + one running ``last(ignorenulls)`` window per value column —
+    a SINGLE shuffle on (key, ts), versus the naive range-join which
+    explodes to |left| x |right| per key before filtering. Right rows sort
+    before left rows at equal ts (inclusive semantics, matching DuckDB's
+    ASOF JOIN). ``right`` must be unique per (key, ts) — dedupe upstream."""
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (key_col, ts_col)],
+        F.lit(0).alias("__is_l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).select(*lcols, "__is_l", *[f"__r_{c}" for c in value_cols])
+    u = tagged_l.unionByName(tagged_r)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, "__is_l")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__is_l") == 1)
+        .select(*lcols, *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols])
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al., public):
+    hash every value to 60 bits, keep the k smallest DISTINCT hashes; if
+    fewer than k exist the count is exact, else estimate
+    (k-1) * 2^60 / kth_min. Deterministic (md5-based) — unlike
+    approx_count_distinct's HLL, a SQL oracle reproduces the estimate
+    bit-for-bit, and sketches from disjoint partitions merge by keeping the
+    k smallest of the union (the property that makes it a sketch)."""
+    hashes = (
+        df.select(hash60_col(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = hashes.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth")
+    )
+    domain = float(1 << HASH_BITS)
+    return agg.select(
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        ).otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(domain) / F.col("kth"), 2)
+        ).alias("distinct_estimate"),
+        F.col("n_kept"),
+    )

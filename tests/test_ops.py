@@ -548,3 +548,32 @@ def test_connected_components_random_vs_union_find(spark):
     got = {r["id"]: r["component"]
            for r in dedup.connected_components(pairs, nodes).collect()}
     assert got == expected
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of semantics: equal-ts right row IS visible; earlier
+    rights are shadowed by later ones; keys with no prior right get null."""
+    from cuda_float_compress_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 50), (4, "v", 10)],
+        "event_id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 150, 2.0)], "k string, ts long, v double"
+    )
+    out = {r["event_id"]: r["asof_v"] for r in relational.asof_join(
+        left, right, "k", "ts", ["v"]).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from cuda_float_compress_spark.operators import relational
+
+    small = spark.createDataFrame([(f"v{i % 7}",) for i in range(100)], ["x"])
+    r = relational.kmv_distinct(small, "x", k=64).collect()[0]
+    assert r["distinct_estimate"] == 7.0 and r["n_kept"] == 7  # exact path
+    big = spark.createDataFrame([(f"val{i}",) for i in range(5000)], ["x"])
+    r2 = relational.kmv_distinct(big, "x", k=256).collect()[0]
+    assert r2["n_kept"] == 256
+    assert 3500 < r2["distinct_estimate"] < 6500  # ~±2/sqrt(k) accuracy
