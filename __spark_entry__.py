@@ -648,6 +648,50 @@ def _asof_event_snapshot(spark, sf_dir):
     )
 
 
+def _range_join_events(spark, sf_dir):
+    """Bucketized range join (point-in-interval) — candidates bounded per
+    interval by its bucket count, never |points| x |intervals|; the exact
+    BETWEEN filter runs only on bucket-colocated pairs. Oracle: the naive
+    SQL range join."""
+    from cuda_float_compress_spark.operators.relational import (
+        range_join_points_to_intervals,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select("event_id", "user_id", us.alias("ts_us"))
+    two_h = 2 * 3600 * 1_000_000
+    ivs = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .select("user_id", us.alias("s"))
+        .dropDuplicates(["user_id", "s"])
+        .withColumn("e", F.col("s") + F.lit(two_h))
+    )
+    out = range_join_points_to_intervals(
+        pts, ivs, "user_id", "ts_us", "s", "e", bucket_width=3600 * 1_000_000
+    )
+    return out.select("event_id", F.col("s").alias("ivl_start_us"))
+
+
+def _events_time_rollup(spark, sf_dir):
+    """Hierarchical time rollup (hypertable-style continuous-aggregate
+    shape): (day, hour) -> day -> grand total in one pass."""
+    ev = _read(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    day = F.unix_micros(F.date_trunc("day", ts))
+    hour = F.unix_micros(F.date_trunc("hour", ts))
+    return (
+        ev.select(day.alias("day_us"), hour.alias("hour_us"), "value")
+        .rollup("day_us", "hour_us")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("day_us"), F.lit(-1)).alias("day_us"),
+            F.coalesce(F.col("hour_us"), F.lit(-1)).alias("hour_us"),
+            "n", "sum_value",
+        )
+    )
+
+
 def _kmv_distinct_texts(spark, sf_dir):
     """KMV distinct sketch over document texts (deterministic md5-60bit
     k-minimum values — unlike HLL, the oracle reproduces the estimate
@@ -700,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_orders": _q17_small_orders,
         "latest_event_per_user": _latest_event_per_user,
         "asof_event_snapshot": _asof_event_snapshot,
+        "range_join_events": _range_join_events,
+        "events_time_rollup": _events_time_rollup,
         "kmv_distinct_texts": _kmv_distinct_texts,
         "events_type_share": _events_type_share,
         "customers_without_orders": _customers_without_orders,
@@ -992,6 +1038,29 @@ def oracle_sql() -> dict[str, str]:
                    s.snap_value AS asof_snap_value
             FROM events e ASOF LEFT JOIN snaps s
               ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "range_join_events": """
+            WITH ivs AS (
+                SELECT DISTINCT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 7200000000 AS e
+                FROM events WHERE event_id % 50 = 0
+            )
+            SELECT e.event_id, i.s AS ivl_start_us
+            FROM events e JOIN ivs i ON e.user_id = i.user_id
+             AND epoch_us(e.ts) >= i.s AND epoch_us(e.ts) < i.e
+        """,
+        "events_time_rollup": """
+            SELECT coalesce(day_us, -1) AS day_us,
+                   coalesce(hour_us, -1) AS hour_us,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                       epoch_us(date_trunc('hour', ts)) AS hour_us,
+                       value
+                FROM events
+            )
+            GROUP BY ROLLUP (day_us, hour_us)
         """,
         "kmv_distinct_texts": """
             WITH h AS (

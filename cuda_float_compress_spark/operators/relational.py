@@ -60,6 +60,40 @@ def asof_join(
     )
 
 
+def range_join_points_to_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join (point-in-interval) WITHOUT the naive cross-join blowup:
+    each interval explodes to the fixed-width buckets it covers, points map
+    to their single bucket, and the join runs on (key, bucket) before the
+    exact containment filter — candidate pairs are bounded by
+    interval_length/bucket_width per interval instead of |points|x|intervals|
+    per key. Containment is inclusive start, exclusive end. Choose
+    bucket_width ~ median interval length."""
+    bw = int(bucket_width)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bw).cast("long"),
+                ((F.col(end_col) - 1) / bw).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", (F.col(point_col) / bw).cast("long"))
+    joined = pt.join(iv, [key_col, "__bucket"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")
+
+
 def kmv_distinct(
     df: DataFrame, col: str, k: int = 256
 ) -> DataFrame:

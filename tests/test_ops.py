@@ -577,3 +577,20 @@ def test_kmv_distinct_exact_and_estimate(spark):
     r2 = relational.kmv_distinct(big, "x", k=256).collect()[0]
     assert r2["n_kept"] == 256
     assert 3500 < r2["distinct_estimate"] < 6500  # ~±2/sqrt(k) accuracy
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    from cuda_float_compress_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(i, "k", i * 10) for i in range(100)], "pid long, k string, t long"
+    )
+    ivs = spark.createDataFrame(
+        [("k", 95, 250), ("k", 240, 241), ("k", 900, 1200)],
+        "k string, s long, e long",
+    )
+    got = {(r["pid"], r["s"]) for r in relational.range_join_points_to_intervals(
+        pts, ivs, "k", "t", "s", "e", bucket_width=37).collect()}
+    naive = {(p, s) for p in range(100) for (s, e) in [(95, 250), (240, 241), (900, 1200)]
+             if s <= p * 10 < e}
+    assert got == naive and len(got) > 0
