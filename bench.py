@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ivf_topk",
     "embedding_neardup",
+    "asof_event_snapshot",
+    "range_join_events",
+    "bpe_token_counts",
 ]
 
 
