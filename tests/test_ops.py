@@ -594,3 +594,32 @@ def test_range_join_bucketized_matches_naive(spark):
     naive = {(p, s) for p in range(100) for (s, e) in [(95, 250), (240, 241), (900, 1200)]
              if s <= p * 10 < e}
     assert got == naive and len(got) > 0
+
+
+def test_asof_join_random_vs_duckdb_native(spark):
+    """3000 random (key, ts) points against DuckDB's native ASOF JOIN —
+    the composition must match the real primitive row-for-row."""
+    import random
+
+    import duckdb
+
+    rnd = random.Random(123)
+    left = [(i, f"k{rnd.randrange(8)}", rnd.randrange(1000)) for i in range(3000)]
+    right_raw = {(f"k{rnd.randrange(8)}", rnd.randrange(1000)): rnd.random()
+                 for _ in range(200)}
+    right = [(k, t, round(v, 6)) for (k, t), v in right_raw.items()]
+    from cuda_float_compress_spark.operators import relational
+
+    ldf = spark.createDataFrame(left, "pid long, k string, ts long")
+    rdf = spark.createDataFrame(right, "k string, ts long, v double")
+    got = {r["pid"]: r["asof_v"] for r in relational.asof_join(
+        ldf, rdf, "k", "ts", ["v"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(pid BIGINT, k VARCHAR, ts BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right)
+    exp = {pid: v for pid, v in con.execute(
+        "SELECT l.pid, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.ts >= r.ts").fetchall()}
+    assert got == exp
