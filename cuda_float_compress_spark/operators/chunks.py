@@ -29,20 +29,19 @@ def ptype_of(arrow_type: pa.DataType) -> str:
     if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
         return "binary"
     if pa.types.is_timestamp(arrow_type):
-        # Spark TimestampType arrives tz-aware (UTC); TimestampNTZType naive.
+        # Spark TimestampType arrives tz-aware; TimestampNTZType naive.
         # Reject what the us-precision round-trip contract cannot represent
-        # bit-identically (ns-unit would truncate; non-UTC tz would be lost)
+        # bit-identically (ns-unit would truncate)
         if arrow_type.unit != "us":
             raise TypeError(
                 f"timestamp unit '{arrow_type.unit}' is not the codec's us "
                 "domain (ns would truncate, s/ms would change the schema on "
                 "decode); cast to us first"
             )
-        if arrow_type.tz is not None and arrow_type.tz not in ("UTC", "+00:00"):
-            raise TypeError(
-                f"non-UTC timestamp tz '{arrow_type.tz}' is not preserved by "
-                "the codec; normalize to UTC first"
-            )
+        # Arrow tz-aware timestamps store UTC-normalized instants by spec;
+        # the tz string is DISPLAY metadata (Spark stamps the session tz on
+        # Arrow batches). Instants round-trip bit-identical for ANY tz — the
+        # decoded schema says UTC, which Spark re-renders in session tz.
         return "timestamp_us" if arrow_type.tz is not None else "timestamp_ntz"
     if pa.types.is_int64(arrow_type):
         return "int64"
@@ -141,16 +140,6 @@ def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str) -> pa.Array:
     if ptype == "string":
         return bin_arr.cast(pa.large_string())
     return bin_arr
-
-
-def _ld_to_items(lengths: np.ndarray, data: bytes) -> list:
-    sizes = np.where(lengths >= 0, lengths, 0)
-    ends = np.cumsum(sizes)
-    starts = ends - sizes
-    return [
-        None if lengths[i] < 0 else data[starts[i] : ends[i]]
-        for i in range(len(lengths))
-    ]
 
 
 def _numeric_values_and_validity(arr: pa.Array, np_dtype) -> tuple[np.ndarray, np.ndarray | None]:
@@ -364,6 +353,8 @@ def _gather_ld(
     u_lengths: np.ndarray, u_data: bytes, codes: np.ndarray
 ) -> tuple[np.ndarray, bytes]:
     """Expand dictionary codes (0 = null, 1..card) to (lengths, data)."""
+    if len(u_lengths) == 0:  # all-null chunk: empty dictionary, every code 0
+        return np.full(len(codes), -1, dtype=np.int64), b""
     u_lengths = np.where(u_lengths >= 0, u_lengths, 0).astype(np.int64)
     u_starts = np.zeros(len(u_lengths), dtype=np.int64)
     if len(u_lengths) > 1:

@@ -87,6 +87,24 @@ def committed_blocks(
         if as_of is not None:
             lin = lin.filter(F.col("finished_at") <= float(as_of))
         lin = lin.select("part_id", "run_id").distinct()
+        # a part committed by MORE THAN ONE run means two encodes were
+        # appended to the same dir (both resume=False) — decoding would
+        # silently double rows; refuse (metadata-scale check)
+        dup = (
+            lin.groupBy("part_id")
+            .agg(F.countDistinct("run_id").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"part {dup[0]['part_id']} in {out_dir} was committed by "
+                f"{dup[0]['n']} different runs — the table is ambiguous "
+                "(two encodes appended to one dir?); vacuum/rebuild it"
+            )
+    except ValueError:
+        raise
     except Exception:
         return blocks
     return blocks.join(F.broadcast(lin), ["part_id", "run_id"], "left_semi")
@@ -164,9 +182,12 @@ def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataF
         if ptypes.get(col) in _TS_PTYPES:
             c = F.unix_micros(F.col(col).cast("timestamp"))
             value = _predicate_value(value, ptypes[col])
-        elif ptypes.get(col) == "date32" and isinstance(value, _dt.datetime):
+        elif ptypes.get(col) == "date32":
             c = F.col(col)
-            value = value.date()
+            if isinstance(value, _dt.datetime):
+                value = value.date()
+            elif isinstance(value, int):  # days-since-epoch literal
+                value = _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
         else:
             c = F.col(col)
         df = df.filter(

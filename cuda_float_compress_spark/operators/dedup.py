@@ -268,9 +268,10 @@ def ngram_jaccard_pairs(
 
 
 def token_hashes_col(text: Column) -> Column:
-    """60-bit hashes of whitespace tokens (JVM split + md5; empty/blank text
-    -> empty array). Portable: a SQL oracle computes the identical array."""
-    trimmed = F.trim(text)
+    """60-bit hashes of whitespace tokens (JVM split + md5; NULL/empty/blank
+    text -> empty array, so downstream numpy never sees None). Portable: a
+    SQL oracle computes the identical array."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(
         F.length(trimmed) == 0, F.array().cast("array<long>")
     ).otherwise(F.transform(F.split(trimmed, r"\s+"), hash60_col))
@@ -286,13 +287,16 @@ def _simhash_majority(hash_arrays: pd.Series) -> pd.Series:
     out = np.zeros(n_rows, dtype=np.int64)
     if n_rows == 0:
         return pd.Series(out)
-    lens = np.fromiter((len(a) for a in hash_arrays), dtype=np.int64, count=n_rows)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hash_arrays),
+        dtype=np.int64, count=n_rows,
+    )
     nz = lens > 0
     if not nz.any():
         return pd.Series(out)
     flat = np.concatenate(
         [np.asarray(a, dtype=np.int64) for a, keep in zip(hash_arrays, nz) if keep]
-    ).view(np.uint64)
+    ).astype(np.int64, copy=False).view(np.uint64)
     nz_lens = lens[nz]
     offs = np.zeros(len(nz_lens), dtype=np.int64)
     np.cumsum(nz_lens[:-1], out=offs[1:])

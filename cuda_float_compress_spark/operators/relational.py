@@ -32,31 +32,36 @@ def asof_join(
     before left rows at equal ts (inclusive semantics, matching DuckDB's
     ASOF JOIN). ``right`` must be unique per (key, ts) — dedupe upstream."""
     lcols = [c for c in left.columns]
-    tagged_l = left.select(
-        *lcols,
-        F.lit(1).alias("__is_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+    # value columns travel inside ONE struct: last(ignorenulls) then skips
+    # only LEFT rows (whose struct is NULL), never a matched right row that
+    # legitimately carries a NULL value — same semantics as a real ASOF JOIN
+    rstruct = F.struct(*[F.col(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
     )
+    tagged_l = left.select(*lcols, F.lit(1).alias("__is_l"),
+                           null_struct.alias("__r"))
     tagged_r = right.select(
         F.col(key_col),
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key_col, ts_col)],
         F.lit(0).alias("__is_l"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).select(*lcols, "__is_l", *[f"__r_{c}" for c in value_cols])
+        rstruct.alias("__r"),
+    ).select(*lcols, "__is_l", "__r")
     u = tagged_l.unionByName(tagged_r)
     w = (
         W.partitionBy(key_col)
         .orderBy(ts_col, "__is_l")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    for c in value_cols:
-        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     return (
         u.filter(F.col("__is_l") == 1)
-        .select(*lcols, *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols])
+        .select(*lcols,
+                *[F.col(f"__r.{c}").alias(f"asof_{c}") for c in value_cols])
     )
 
 
@@ -105,7 +110,10 @@ def kmv_distinct(
     bit-for-bit, and sketches from disjoint partitions merge by keeping the
     k smallest of the union (the property that makes it a sketch)."""
     hashes = (
-        df.select(hash60_col(F.col(col).cast("string")).alias("h"))
+        df.filter(F.col(col).isNotNull())  # NULL is not a value; it would
+        # also sort FIRST in Spark and LAST in a SQL oracle, displacing the
+        # k-th minimum differently in each engine
+        .select(hash60_col(F.col(col).cast("string")).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)

@@ -101,24 +101,31 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         n = len(vecs)
-        out = np.zeros(n, dtype=np.int32)
         if n == 0:
-            return pd.Series(out)
-        lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        # NULL vectors get a NULL bucket (never paired/probed) — matching the
+        # pure-Column implementation this replaced
+        null_mask = np.fromiter((a is None for a in vecs), dtype=bool, count=n)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in vecs), dtype=np.int64, count=n
+        )
         mx = int(lens.max()) if n else 0
         if mx > MAX_DIM:
             raise ValueError(f"vector dim {mx} exceeds MAX_DIM={MAX_DIM}")
-        M = np.zeros((n, mx), dtype=np.float64)
+        M = np.zeros((n, max(mx, 1)), dtype=np.float64)
         for i, a in enumerate(vecs):  # ragged fill; zero-pad is a no-op term
-            M[i, : lens[i]] = a
+            if lens[i]:
+                M[i, : lens[i]] = a
         q = _round_half_away(M * 1e6).astype(np.int64)
-        proj = q @ S[:mx]
+        proj = q @ S[: M.shape[1]]
         out = (
             ((proj >= 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64))
             .sum(axis=1)
             .astype(np.int32)
         )
-        return pd.Series(out)
+        sr = pd.Series(out).astype("Int32")
+        sr[null_mask] = pd.NA
+        return sr
 
     return bucket(vec)
 

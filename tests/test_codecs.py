@@ -287,7 +287,8 @@ def test_ptype_rejects_lossy_timestamps():
 
     with pytest.raises(TypeError):
         C.ptype_of(pa.timestamp("ns"))
-    with pytest.raises(TypeError):
-        C.ptype_of(pa.timestamp("us", tz="America/New_York"))
     assert C.ptype_of(pa.timestamp("us")) == "timestamp_ntz"
     assert C.ptype_of(pa.timestamp("us", tz="UTC")) == "timestamp_us"
+    # any tz is fine: Arrow tz-aware values are UTC-normalized instants by
+    # spec (the tz string is display metadata — Spark stamps the session tz)
+    assert C.ptype_of(pa.timestamp("us", tz="America/New_York")) == "timestamp_us"

@@ -623,3 +623,46 @@ def test_asof_join_random_vs_duckdb_native(spark):
         "SELECT l.pid, r.v FROM l ASOF LEFT JOIN r "
         "ON l.k = r.k AND l.ts >= r.ts").fetchall()}
     assert got == exp
+
+
+def test_null_inputs_through_lsh_ops(spark):
+    """Review regressions: NULL text / NULL vectors must flow through the
+    pandas-UDF paths without crashing, and NULL vectors never pair."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some text here"), (3, "some text here")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
+    assert sh[1] == 0 and sh[2] == sh[3] != 0
+    pairs = dedup.simhash_near_dups(docs, "doc_id").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(2, 3)}
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = dedup.embedding_neardup_pairs(vecs, n_planes=4, min_cosine=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 3)}  # null never pairs
+
+
+def test_asof_join_null_right_value(spark):
+    """A matched right row with a NULL value must yield NULL (not an older
+    snapshot's value) — real ASOF JOIN semantics."""
+    from cuda_float_compress_spark.operators import relational
+
+    left = spark.createDataFrame([(1, "k", 10), (2, "k", 30)],
+                                 "pid long, k string, ts long")
+    right = spark.createDataFrame([("k", 5, 7.0), ("k", 20, None)],
+                                  "k string, ts long, v double")
+    out = {r["pid"]: r["asof_v"] for r in relational.asof_join(
+        left, right, "k", "ts", ["v"]).collect()}
+    assert out == {1: 7.0, 2: None}
+
+
+def test_kmv_ignores_nulls(spark):
+    from cuda_float_compress_spark.operators import relational
+
+    df = spark.createDataFrame([(None,)] * 50 + [(f"v{i}",) for i in range(9)],
+                               "x string")
+    r = relational.kmv_distinct(df, "x", k=64).collect()[0]
+    assert r["distinct_estimate"] == 9.0 and r["n_kept"] == 9

@@ -294,3 +294,45 @@ def test_all_supported_types_roundtrip(spark, scratch):
     assert math.isnan(
         [r["c_f32"] for r in dec.filter(F.col("key") == "k0").collect()][0]
     )  # the NaN row really came back as NaN
+
+
+def test_double_commit_refused(spark, webpages, scratch):
+    """Two committed encodes appended to one dir make the table ambiguous
+    (rows would silently double) — decode must refuse, not guess."""
+    encode_table(spark, webpages, scratch, n_parts=4, resume=False,
+                 detect_skew=False)
+    encode_table(spark, webpages, scratch, n_parts=4, resume=False,
+                 detect_skew=False)
+    with pytest.raises(Exception, match="ambiguous"):
+        decode_table(spark, scratch).count()
+
+
+def test_all_null_dict_chunk_roundtrip(spark, scratch):
+    """An all-null string column stored via the dict codec (card=0) must
+    decode to all nulls, not IndexError."""
+    from cuda_float_compress_spark.operators import chunks as C
+    import pyarrow as pa
+
+    arr = pa.array([None, None, None], type=pa.large_binary())
+    for codec in ("bytes_dict", "bytes_rle"):
+        _, payload, params, n, n_nulls = C.encode_column_chunk(
+            arr, "binary", codec_override=codec
+        )
+        out = C.decode_column_chunk(payload, codec, params, n, n_nulls, "binary")
+        assert out.to_pylist() == [None, None, None], codec
+
+
+def test_date_predicate_int_days_literal(spark, scratch):
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(300)]
+    df = (
+        spark.createDataFrame(rows, "id long, d date")
+        .withColumn("url", F.concat(F.lit("u"), F.col("id")))
+    )
+    encode_table(spark, df, scratch, n_parts=2, chunk_rows=64, resume=False,
+                 sort_keys=["d"])
+    days = (dt.date(2024, 6, 1) - dt.date(1970, 1, 1)).days
+    got = decode_table(spark, scratch, predicates=[("d", ">=", days)])
+    expected = df.filter(F.col("d") >= F.lit(dt.date(2024, 6, 1)))
+    assert got.count() == expected.count() > 0
