@@ -401,9 +401,10 @@ def _ann_lsh_topk(spark, sf_dir):
 
 
 def _ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors: deterministic coarse quantizer
-    (lowest-id vectors), integer-grid list assignment, nprobe=4 probe, exact
-    cosine inside probed lists — the oracle reproduces every step in SQL."""
+    """IVF approximate nearest neighbors: deterministic integer-grid k-means
+    coarse quantizer (lowest-id init + 2 Lloyd iterations, trunc-div centroid
+    updates), integer-grid list assignment, nprobe=4 probe, exact cosine
+    inside probed lists — the oracle replays TRAINING and assignment in SQL."""
     from cuda_float_compress_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -758,6 +759,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles — DuckDB SQL over the same parquet views
 # ---------------------------------------------------------------------------
+
+
+def _ivf_oracle_sql(
+    dim: int = 64, n_lists: int = 16, nprobe: int = 4, iters: int = 2, k: int = 10
+) -> str:
+    """SQL replay of ivf_topk INCLUDING its deterministic k-means training
+    (operators/similarity.py:ivf_train_centroids): lowest-id init, then
+    ``iters`` Lloyd rounds of integer-grid argmin assignment + trunc-div
+    centroid updates. Generated (not hand-written) because each round is a
+    mechanical dist/assign/update CTE block and the update lists all ``dim``
+    components; DuckDB's `//` truncates toward zero exactly like Spark `div`
+    and the engine's _trunc_div."""
+    dist_block = (
+        "dist{t} AS (\n"
+        "    SELECT g.vec_id, c.lid,\n"
+        "           list_sum(list_transform(list_zip(g.q, c.c),\n"
+        "               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d\n"
+        "    FROM grid g CROSS JOIN cent{t} c\n"
+        ")"
+    )
+    assign_block = (
+        "assign{t} AS (\n"
+        "    SELECT vec_id, lid FROM (\n"
+        "        SELECT vec_id, lid,\n"
+        "               row_number() OVER (PARTITION BY vec_id\n"
+        "                                  ORDER BY d, lid) AS rn\n"
+        "        FROM dist{t}\n"
+        "    ) WHERE rn = 1\n"
+        ")"
+    )
+    sum_cols = ", ".join(f"sum(q[{d + 1}]) AS s{d}" for d in range(dim))
+    div_terms = ", ".join(f"(u.s{d} // u.cnt)::BIGINT" for d in range(dim))
+    parts = [
+        "WITH grid AS (\n"
+        "    SELECT vec_id,\n"
+        "           list_transform(embedding,\n"
+        "                          x -> round(x::DOUBLE * 1e6)::BIGINT) AS q\n"
+        "    FROM embeddings\n"
+        ")",
+        "cent0 AS (\n"
+        "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, q AS c\n"
+        f"    FROM (SELECT vec_id, q FROM grid ORDER BY vec_id LIMIT {n_lists})\n"
+        ")",
+    ]
+    for t in range(iters):
+        parts.append(dist_block.format(t=t))
+        parts.append(assign_block.format(t=t))
+        parts.append(
+            f"upd{t} AS (\n"
+            f"    SELECT lid, count(*) AS cnt, {sum_cols}\n"
+            f"    FROM assign{t} JOIN grid USING (vec_id) GROUP BY lid\n"
+            f")"
+        )
+        parts.append(
+            f"cent{t + 1} AS (\n"
+            f"    SELECT c.lid,\n"
+            f"           CASE WHEN u.cnt IS NULL THEN c.c\n"
+            f"                ELSE list_value({div_terms}) END AS c\n"
+            f"    FROM cent{t} c LEFT JOIN upd{t} u USING (lid)\n"
+            f")"
+        )
+    parts.append(dist_block.format(t=iters))
+    parts.append(assign_block.format(t=iters))
+    parts.append(
+        f"probes AS (\n"
+        f"    SELECT lid FROM dist{iters} WHERE vec_id = 0\n"
+        f"    ORDER BY d, lid LIMIT {nprobe}\n"
+        f")"
+    )
+    parts.append(
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+    )
+    parts.append(
+        f"scored AS (\n"
+        f"    SELECT e.vec_id,\n"
+        f"           round(list_dot_product(e.embedding::DOUBLE[], qv)\n"
+        f"                 / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],\n"
+        f"                                                  e.embedding::DOUBLE[]))\n"
+        f"                            * sqrt(list_dot_product(qv, qv)), 1e-12), 6)\n"
+        f"               AS cos6\n"
+        f"    FROM embeddings e, q\n"
+        f"    JOIN assign{iters} a ON a.vec_id = e.vec_id\n"
+        f"    WHERE a.lid IN (SELECT lid FROM probes)\n"
+        f")"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, round(cos6, 3) AS cos3\n"
+        f"FROM scored ORDER BY cos6 DESC, vec_id LIMIT {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1224,51 +1315,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(cos6, 3) AS cos3
             FROM scored ORDER BY cos6 DESC, vec_id LIMIT 10
         """,
-        "ivf_topk": """
-            WITH cent AS (
-                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid,
-                       list_transform(embedding,
-                                      x -> round(x::DOUBLE * 1e6)::BIGINT) AS c
-                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
-            ),
-            grid AS (
-                SELECT vec_id,
-                       list_transform(embedding,
-                                      x -> round(x::DOUBLE * 1e6)::BIGINT) AS q
-                FROM embeddings
-            ),
-            dist AS (
-                SELECT g.vec_id, c.lid,
-                       list_sum(list_transform(list_zip(g.q, c.c),
-                           s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
-                FROM grid g CROSS JOIN cent c
-            ),
-            assign AS (
-                SELECT vec_id, lid FROM (
-                    SELECT vec_id, lid,
-                           row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, lid) AS rn
-                    FROM dist
-                ) WHERE rn = 1
-            ),
-            probes AS (
-                SELECT lid FROM dist WHERE vec_id = 0 ORDER BY d, lid LIMIT 4
-            ),
-            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT e.vec_id,
-                       round(list_dot_product(e.embedding::DOUBLE[], qv)
-                             / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                              e.embedding::DOUBLE[]))
-                                        * sqrt(list_dot_product(qv, qv)), 1e-12), 6)
-                           AS cos6
-                FROM embeddings e, q
-                JOIN assign a ON a.vec_id = e.vec_id
-                WHERE a.lid IN (SELECT lid FROM probes)
-            )
-            SELECT vec_id, round(cos6, 3) AS cos3
-            FROM scored ORDER BY cos6 DESC, vec_id LIMIT 10
-        """,
+        "ivf_topk": _ivf_oracle_sql(dim=64, n_lists=16, nprobe=4, iters=2, k=10),
         "embedding_neardup": """
             WITH u AS (
                 SELECT vec_id, embedding FROM embeddings

@@ -221,10 +221,15 @@ def minhash_lsh_pairs(
     Scale: signatures are one md5 pass per shingle; candidates shuffle
     (id, band-key) only; verification shingles only docs that appear in some
     candidate pair."""
+    # Materialize the candidate set ONCE: it feeds three consumers (two
+    # union branches of `wanted` + the verify join), and without the
+    # checkpoint Spark re-derives the full shingle->hash->signature->band
+    # pipeline per consumer — three corpus scans instead of one at 100 TB.
+    # Candidates are tiny (id pairs), so the checkpoint is ~free.
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes, bands, shingle_k, bucket_cap,
         observation, shingle_mode,
-    )
+    ).localCheckpoint(eager=True)
     wanted = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -372,6 +377,10 @@ def connected_components(
     ``nodes``: one column ``id_col`` with every node (singletons keep their
     own id as component). Deterministic — a SQL oracle's recursive CTE
     computes the identical fixpoint."""
+    # Materialize `pairs` before the two-branch union: callers hand in an
+    # expensive LSH subtree (e.g. simhash_near_dups), and referencing it in
+    # both union branches would otherwise evaluate it twice.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -381,6 +390,7 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -405,6 +415,7 @@ def connected_components(
         )
         labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
         if changed == 0:
+            converged = True
             break
         # star contraction: rewrite edges through the current labels so later
         # rounds hop between component representatives — O(log diameter)
@@ -418,6 +429,17 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # Exiting via max_iter means labels may still be split mid-cluster:
+        # downstream keep-lists would retain extra "representatives". Loud
+        # failure beats silently-wrong components (star contraction converges
+        # in O(log diameter) rounds, so hitting 25 means a pathological graph
+        # — raise so the caller can bump max_iter deliberately).
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds; components would be split. Raise max_iter."
+        )
+    converged = False
     # resolve label chains by pointer jumping (label <- label[label]):
     # contraction leaves nodes pointing at intermediate representatives;
     # pointers strictly decrease, so this doubles chain depth per round
@@ -438,7 +460,13 @@ def connected_components(
         )
         labels = jumped.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: pointer jumping did not converge in "
+            f"{max_iter} rounds (chain depth > 2^{max_iter}); raise max_iter."
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

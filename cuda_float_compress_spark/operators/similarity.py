@@ -9,6 +9,8 @@ query-side probe touches one bucket (plus optional multiprobe neighbors).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -53,10 +55,6 @@ def cosine_topk(
     )
 
 
-MAX_DIM = 256  # hyperplane sign matrix extent; vectors longer than this
-# would need a larger literal (raise if your embeddings exceed it)
-
-
 def plane_sign(i: int, p: int) -> int:
     """Deterministic ±1 for (dimension i, plane p): +1 iff the first hex char
     of md5(f"{i}_{p}") is < '8'. Portable: a SQL oracle recomputes it with its
@@ -66,7 +64,12 @@ def plane_sign(i: int, p: int) -> int:
     return 1 if hashlib.md5(f"{i}_{p}".encode()).hexdigest()[0] < "8" else -1
 
 
-def _sign_matrix(n_planes: int, dim: int = MAX_DIM):
+@lru_cache(maxsize=32)
+def _sign_matrix(n_planes: int, dim: int):
+    """(dim, n_planes) ±1 matrix, derived per-entry from md5 so it extends to
+    ANY embedding dimension on demand (768/1024/4096-dim text embeddings all
+    work — no fixed extent). Cached per (n_planes, dim): built once per
+    executor process, ~1e5 md5 calls at dim 4096."""
     return np.array(
         [[plane_sign(i, p) for p in range(n_planes)] for i in range(dim)],
         dtype=np.int64,
@@ -96,7 +99,6 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
     SQL oracle recomputes identical buckets. Executed as one Arrow-batched
     int64 matmul per batch (a literal-array SQL expression of this size falls
     out of whole-stage codegen and runs ~10x slower interpreted)."""
-    S = _sign_matrix(n_planes)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
@@ -110,8 +112,7 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
             (0 if a is None else len(a) for a in vecs), dtype=np.int64, count=n
         )
         mx = int(lens.max()) if n else 0
-        if mx > MAX_DIM:
-            raise ValueError(f"vector dim {mx} exceeds MAX_DIM={MAX_DIM}")
+        S = _sign_matrix(n_planes, max(mx, 1))  # sized on demand, lru-cached
         M = np.zeros((n, max(mx, 1)), dtype=np.float64)
         for i, a in enumerate(vecs):  # ragged fill; zero-pad is a no-op term
             if lens[i]:
@@ -158,43 +159,142 @@ def ann_lsh_topk(
     )
 
 
-def ivf_assign_col(vec: Column, centroids) -> Column:
+def quantize_grid(x) -> np.ndarray:
+    """round(x * 1e6) on the integer grid (HALF_UP — matches Spark F.round
+    and SQL round()). All IVF arithmetic lives on this grid so every engine
+    agrees bit-for-bit."""
+    return _round_half_away(np.asarray(x, dtype=np.float64) * 1e6).astype(np.int64)
+
+
+def ivf_assign_col(
+    vec: Column, centroids, *, quantized: bool = False, vec_quantized: bool = False
+) -> Column:
     """Inverted-file (IVF) list assignment: argmin centroid by squared L2 on
     the round(x*1e6) integer grid — exact integer arithmetic, so engines and
     a SQL oracle agree bit-for-bit (float distance ties/ulps would not).
     Ties break to the lowest centroid index. ``centroids``: (L, dim) array
-    ordered by centroid id; Arrow-batched matmul per batch."""
-    C = _round_half_away(np.asarray(centroids, dtype=np.float64) * 1e6).astype(
-        np.int64
+    ordered by centroid id (already-int64 grid values when ``quantized``);
+    Arrow-batched matmul per batch. NULL or wrong-dimension vectors get a
+    NULL list id (never probed) — same contract as hyperplane_bucket_col."""
+    C = (
+        np.asarray(centroids, dtype=np.int64)
+        if quantized
+        else quantize_grid(centroids)
     )
     c2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         n = len(vecs)
         if n == 0:
             return pd.Series(np.zeros(0, dtype=np.int32))
-        M = np.vstack([np.asarray(a, dtype=np.float64) for a in vecs])
-        Q = _round_half_away(M * 1e6).astype(np.int64)
+        bad = np.fromiter(
+            (a is None or len(a) != dim for a in vecs), dtype=bool, count=n
+        )
+        if vec_quantized:  # input is already int64 grid values — NO re-scaling
+            Q = np.zeros((n, dim), dtype=np.int64)
+            for i, a in enumerate(vecs):
+                if not bad[i]:
+                    Q[i] = a
+        else:
+            M = np.zeros((n, dim), dtype=np.float64)
+            for i, a in enumerate(vecs):
+                if not bad[i]:
+                    M[i] = a
+            Q = _round_half_away(M * 1e6).astype(np.int64)
         # ||q-c||^2 = q.q + c.c - 2 q.c, all int64 (components <= ~2^21, so
         # 64-dim sums stay far below 2^63)
         d = (Q * Q).sum(axis=1)[:, None] + c2[None, :] - 2 * (Q @ C.T)
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))  # first = lowest id
+        out = np.argmin(d, axis=1).astype(np.int32)  # first = lowest id
+        sr = pd.Series(out).astype("Int32")
+        sr[bad] = pd.NA
+        return sr
 
     return assign(vec)
 
 
-def ivf_probe_lists(query_vec, centroids, nprobe: int) -> list[int]:
+def ivf_probe_lists(query_vec, centroids, nprobe: int, *, quantized: bool = False) -> list[int]:
     """The nprobe nearest inverted lists for a query (same integer metric)."""
-    C = _round_half_away(np.asarray(centroids, dtype=np.float64) * 1e6).astype(
-        np.int64
+    C = (
+        np.asarray(centroids, dtype=np.int64)
+        if quantized
+        else quantize_grid(centroids)
     )
-    q = _round_half_away(np.asarray(query_vec, dtype=np.float64) * 1e6).astype(
-        np.int64
-    )
+    q = quantize_grid(query_vec)
     d = ((C - q[None, :]) ** 2).sum(axis=1)
     order = np.lexsort((np.arange(len(d)), d))  # ties -> lowest centroid idx
     return [int(i) for i in order[:nprobe]]
+
+
+def _trunc_div(sums: np.ndarray, cnt: int) -> np.ndarray:
+    """Exact integer division truncating toward zero — the ONE division rule
+    every engine shares: Spark `a div b`, DuckDB `a // b`, and this (numpy's
+    `//` floors, which disagrees on negatives, hence the sign dance)."""
+    s = np.sign(sums)
+    return (s * (np.abs(sums) // cnt)).astype(np.int64)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on the round(x*1e6) integer grid,
+    returning (n_lists, dim) int64 QUANTIZED centroids.
+
+    Every step is engine-portable, so a SQL oracle replays training exactly:
+    - init: the n_lists lowest-id vectors (no RNG);
+    - assign: integer-grid squared-L2 argmin, ties to lowest list id;
+    - update: centroid[d] = trunc_div(sum of member grid values, count) —
+      int64 sums are order-independent (float means would drift between
+      engines); empty lists keep their previous centroid;
+    - exactly ``n_iters`` iterations (no data-dependent stopping).
+
+    Scale: each iteration is ONE scan (Arrow-matmul assign) + ONE groupBy
+    with dim+1 sum/count aggregates — map-side partial aggregation, n_lists
+    result rows to the driver. No explode, no per-row Python."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    C = quantize_grid([list(r[vec_col]) for r in init_rows])
+    dim = C.shape[1]
+    # quantize with the EXACT float ops _round_half_away uses (sign *
+    # floor(|x*1e6| + 0.5)) — F.round would go through BigDecimal-of-
+    # shortest-decimal-repr and can disagree with the numpy/SQL grid by one
+    # ulp, silently training different centroids than the final assignment
+    def _q(x):
+        xm = x * F.lit(1e6)
+        return (F.signum(xm) * F.floor(F.abs(xm) + F.lit(0.5))).cast("long")
+
+    qvec = F.transform(F.col(vec_col).cast("array<double>"), _q)
+    qdf = df.select(qvec.alias("__q")).filter(
+        F.col("__q").isNotNull() & (F.size("__q") == dim)
+    )
+    for _ in range(n_iters):
+        assigned = qdf.withColumn(
+            "__lid",
+            ivf_assign_col(F.col("__q"), C, quantized=True, vec_quantized=True),
+        )
+        aggs = [F.count(F.lit(1)).alias("cnt")] + [
+            F.sum(F.element_at("__q", d + 1)).alias(f"s{d}") for d in range(dim)
+        ]
+        stats = assigned.groupBy("__lid").agg(*aggs).collect()
+        newC = C.copy()
+        for r in stats:
+            lid, cnt = r["__lid"], r["cnt"]
+            if lid is None or cnt == 0:
+                continue
+            sums = np.array([r[f"s{d}"] for d in range(dim)], dtype=np.int64)
+            newC[lid] = _trunc_div(sums, cnt)
+        C = newC
+    return C
 
 
 def ivf_topk(
@@ -205,6 +305,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_lists: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_lists``
     inverted lists, probe the ``nprobe`` lists nearest the query, exact
@@ -212,15 +313,17 @@ def ivf_topk(
     ~nprobe/n_lists of the data, and list assignment is one Arrow matmul per
     batch.
 
-    Coarse quantizer: the ``n_lists`` lowest-id corpus vectors — a FIXED,
-    deterministic, SQL-reproducible quantizer (a kmeans-refined one drops in
-    here without changing the query shape; only centroid quality changes)."""
-    cent_rows = (
-        df.orderBy(id_col).limit(n_lists).select(id_col, vec_col).collect()
+    Coarse quantizer: deterministic integer-grid k-means
+    (:func:`ivf_train_centroids` — lowest-id init + ``train_iters`` Lloyd
+    iterations, SQL-replayable). ``train_iters=0`` degrades to the raw
+    lowest-id-vectors quantizer."""
+    C = ivf_train_centroids(
+        df, id_col, vec_col, n_lists=n_lists, n_iters=train_iters
     )
-    centroids = [list(r[vec_col]) for r in cent_rows]
-    assigned = df.withColumn("__list", ivf_assign_col(F.col(vec_col), centroids))
-    probe = ivf_probe_lists(query_vec, centroids, nprobe)
+    assigned = df.withColumn(
+        "__list", ivf_assign_col(F.col(vec_col), C, quantized=True)
+    )
+    probe = ivf_probe_lists(query_vec, C, nprobe, quantized=True)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim_cols(F.col(vec_col).cast("array<double>"), q)
     return (

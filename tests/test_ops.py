@@ -396,6 +396,103 @@ def test_ivf_assignment_deterministic(spark):
         assert a1[vid] == int(np.argmin(d)), vid
 
 
+def test_ivf_kmeans_recall_on_clustered_fixture(spark):
+    """Trained (deterministic-Lloyd) centroids reach recall@10 >= 0.9 against
+    exact cosine top-k on a CLUSTERED corpus — the case where the lowest-id
+    quantizer degrades (all init vectors may land in one cluster)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 8, 50, 32
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c][None, :] + rng.normal(0, 0.05, size=(per, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    df.count()
+    query = rows[123][1]
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(df, query, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            df, query, k=10, n_lists=n_clusters, nprobe=2, train_iters=3
+        ).collect()
+    }
+    recall = len(exact & approx) / 10.0
+    assert recall >= 0.9, (recall, exact, approx)
+    # and training actually moved the quantizer off the lowest-id vectors
+    trained = similarity.ivf_train_centroids(
+        df, n_lists=n_clusters, n_iters=3
+    )
+    init = similarity.ivf_train_centroids(df, n_lists=n_clusters, n_iters=0)
+    assert not np.array_equal(trained, init)
+    # trained lists are balanced: every cluster-sized list is non-empty and
+    # no list swallows half the corpus (the lowest-id failure mode)
+    assigned = df.withColumn(
+        "l",
+        similarity.ivf_assign_col(F.col("embedding"), trained, quantized=True),
+    )
+    sizes = [r["count"] for r in assigned.groupBy("l").count().collect()]
+    assert max(sizes) <= per * 2, sizes
+    df.unpersist()
+
+
+def test_ivf_assign_null_and_ragged_are_null(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, None),
+        (2, [1.0, 0.0]),  # wrong dimension
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = {
+        r["vec_id"]: r["l"]
+        for r in df.select(
+            "vec_id",
+            similarity.ivf_assign_col(F.col("embedding"), cents).alias("l"),
+        ).collect()
+    }
+    assert got[0] == 0 and got[3] == 1
+    assert got[1] is None and got[2] is None
+
+
+def test_hyperplane_bucket_high_dim_1024(spark):
+    """The md5-derived sign matrix extends on demand: 1024-dim embeddings
+    bucket identically to the driver-side twin, and embedding_neardup_pairs
+    finds an injected near-duplicate pair at that dimension."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.uniform(-1, 1, size=1024)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.0001]),  # near-dup of 0
+        (2, [float(x) for x in rng.uniform(-1, 1, size=1024)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            similarity.hyperplane_bucket_col(F.col("embedding"), 8).alias("b"),
+        ).collect()
+    }
+    for vid, vec in rows:
+        assert got[vid] == similarity.bucket_py(vec, 8), vid
+    pairs = dedup.embedding_neardup_pairs(
+        df, n_planes=4, min_cosine=0.99
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
 def test_streaming_session_windows_match_batch(spark):
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
