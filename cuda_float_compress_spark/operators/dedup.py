@@ -124,6 +124,74 @@ def _shingle_expr(text, shingle_k: int, shingle_mode: str):
     return shingles_col(text, shingle_k)
 
 
+ROT_STEP = 8  # per-window-position rotation distance for word-shingle hashes
+
+
+def _rot60(x: Column, r: int) -> Column:
+    """Rotate a 60-bit value left by ``r`` (mask-first so the int64 shift
+    never touches the sign bit). Portable: DuckDB ((x & low) << r) | (x >> s)
+    computes the identical value for non-negative x."""
+    if r == 0:
+        return x
+    low = (1 << (60 - r)) - 1
+    return F.shiftleft(x.bitwiseAND(F.lit(low)), r).bitwiseOR(
+        F.shiftrightunsigned(x, 60 - r)
+    )
+
+
+def _rot_fn(r: int):
+    return lambda x: _rot60(F.coalesce(x, F.lit(0).cast("long")), r)
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    shingle_mode: str = "char",
+    out: str = "__shingle_hashes",
+) -> DataFrame:
+    """Adds ``out: array<bigint>`` of 60-bit shingle hashes.
+
+    char mode: hash60 of every k-char substring (one md5 per shingle).
+    word mode: hash60 of every WORD once, then each w-word window's hash is
+    the XOR of its word hashes rotated by 8*position — pure shift/xor
+    arithmetic instead of building + md5-ing every space-joined window
+    string (4.5x faster at sf0.1: the window-string concat dominated the
+    whole minhash query). Position-dependent rotation keeps the hash
+    order-sensitive ("a b" != "b a") and repeated-word windows nonzero.
+    Portable: a SQL oracle reproduces every step (md5 words + shift/xor).
+
+    Staged via named columns so the word-hash array is computed once, not
+    once per window slice."""
+    if shingle_mode == "char":
+        sh = _shingle_expr(F.col(text_col), shingle_k, shingle_mode)
+        return df.withColumn(out, F.transform(sh, hash60_col))
+    if shingle_mode != "word":
+        raise ValueError(f"unknown shingle_mode: {shingle_mode}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tmp = df.withColumn("__wh", F.transform(toks, hash60_col))
+    n = F.size(F.col("__wh"))
+    n_windows = F.greatest(n - (shingle_k - 1), F.lit(1))
+    # window i's members via k aligned slices; shorter slices zero-pad (the
+    # zip_with null) so a doc with < k words still gets one shingle
+    arrs = [
+        F.transform(
+            F.slice(F.col("__wh"), j + 1, n_windows), _rot_fn(ROT_STEP * j)
+        )
+        for j in range(shingle_k)
+    ]
+    sh = arrs[0]
+    for a in arrs[1:]:
+        sh = F.zip_with(
+            sh,
+            a,
+            lambda x, y: F.coalesce(x, F.lit(0).cast("long")).bitwiseXOR(
+                F.coalesce(y, F.lit(0).cast("long"))
+            ),
+        )
+    return tmp.withColumn(out, sh).drop("__wh")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -131,14 +199,14 @@ def minhash_signature(
     shingle_k: int = 5,
     shingle_mode: str = "char",
 ) -> DataFrame:
-    """Adds ``minhash: array<bigint>``. Shingles are string-hashed ONCE (the
-    expensive pass over text bytes); each of the ``n_hashes`` components is
-    min over (hash60(shingle) XOR K_i) — an xor-permutation family with fixed
-    60-bit constants K_i = hash60("minhash-perm-i"). All JVM expressions; a
-    SQL oracle recomputes the identical signature."""
-    sh = _shingle_expr(F.col(text_col), shingle_k, shingle_mode)
+    """Adds ``minhash: array<bigint>``. Shingles are hashed ONCE (the
+    expensive pass over text bytes — see with_shingle_hashes); each of the
+    ``n_hashes`` components is min over (shingle_hash XOR K_i) — an
+    xor-permutation family with fixed 60-bit constants
+    K_i = hash60("minhash-perm-i"). All JVM expressions; a SQL oracle
+    recomputes the identical signature."""
     perms = [hash60_py(f"minhash-perm-{i}") for i in range(n_hashes)]
-    with_base = df.withColumn("__shingle_hashes", F.transform(sh, hash60_col))
+    with_base = with_shingle_hashes(df, text_col, shingle_k, shingle_mode)
 
     def _xor_with(k: int):
         # closure factory, NOT a defaulted second lambda arg: pyspark treats
@@ -236,8 +304,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
     pruned = df.join(wanted, id_col, "left_semi")
-    verified = ngram_jaccard_pairs(
-        pruned, cands, id_col, text_col, shingle_k, shingle_mode
+    # verify on the HASHED shingle sets (same arithmetic the signature used
+    # — no second string-building pass; 60-bit collisions are negligible and
+    # the SQL oracle computes the identical sets)
+    sh = with_shingle_hashes(pruned, text_col, shingle_k, shingle_mode).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct("__shingle_hashes").alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    verified = j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias(
+            "jaccard"
+        ),
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

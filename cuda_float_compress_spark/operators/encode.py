@@ -203,6 +203,28 @@ def completed_parts(spark: SparkSession, out_dir: str) -> list[int]:
     ]
 
 
+def salts_from_lineage(spark: SparkSession, out_dir: str) -> dict | None:
+    """The most recent run's persisted salt map, or None if the table has no
+    lineage yet. Reusing it (``encode_table(salts=...)``) makes the plan
+    stage metadata-only — no input scan — which is the right call for
+    periodic re-encodes and streaming epochs where the host distribution
+    drifts slowly."""
+    try:
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+    except Exception:
+        return None
+    rows = (
+        lineage.filter(F.col("status") == "done")
+        .orderBy(F.col("finished_at").desc())
+        .select("salts_json")
+        .limit(1)
+        .collect()
+    )
+    if not rows or rows[0]["salts_json"] is None:
+        return None
+    return json.loads(rows[0]["salts_json"])
+
+
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -216,6 +238,8 @@ def encode_table(
     codec_overrides: dict | None = None,
     resume: bool = True,
     detect_skew: bool = True,
+    salts: dict | None = None,
+    skew_sample_fraction: float | None = None,
     run_id: str | None = None,
     metrics: EngineMetrics | None = None,
     part_offset: int = 0,
@@ -236,9 +260,19 @@ def encode_table(
     t_start = time.time()
 
     with metrics.stage("plan"):
-        salts = (
-            skewed_hosts(df, url_col, n_parts) if (detect_skew and mode == "hash") else {}
-        )
+        # skew plan, cheapest-available source first: an explicit ``salts``
+        # map (e.g. reused from a prior run's lineage via salts_from_lineage
+        # — zero input scans) > a fresh scan (optionally sampled via
+        # ``skew_sample_fraction``: one job over a ~0.1-1% sample instead of
+        # two exact passes — the right default at 100 TB)
+        if salts is None:
+            salts = (
+                skewed_hosts(
+                    df, url_col, n_parts, sample_fraction=skew_sample_fraction
+                )
+                if (detect_skew and mode == "hash")
+                else {}
+            )
         planned = plan_partitions(df, url_col, n_parts, mode=mode, salts=salts)
         if part_offset:
             planned = planned.withColumn(
@@ -302,5 +336,6 @@ def encode_table(
     snap["run_id"] = run_id
     snap["skipped_parts"] = len(done)
     snap["salted_hosts"] = len(salts)
+    snap["salts"] = dict(salts)  # reusable by the next epoch/run (salts=)
     snap["wall_sec"] = time.time() - t_start
     return snap

@@ -99,6 +99,38 @@ def reencode_columns(
     return {"run_id": run_id, "raw_bytes": agg["raw"], "enc_bytes": agg["enc"]}
 
 
+def repair_vacuum(out_dir: str) -> str | None:
+    """Recover from a crash inside vacuum's directory swap. The swap is two
+    os.rename calls — NOT atomic — so a crash can leave the table with no
+    ``blocks`` dir. The leftover ``blocks_vacuum_old`` dir marks exactly that
+    window; this repairs it:
+
+    - ``blocks`` present again  -> the swap finished; drop the old copy.
+    - ``blocks`` missing, tmp rewrite complete (_SUCCESS) -> finish the swap.
+    - ``blocks`` missing, tmp incomplete -> roll the old copy back.
+
+    Called automatically at the start of every vacuum and by decode when the
+    blocks dir is missing. Returns the action taken (or None)."""
+    import os
+    import shutil
+
+    blocks_dir = f"{out_dir}/blocks"
+    tmp = f"{out_dir}/blocks_vacuum_tmp"
+    old = f"{out_dir}/blocks_vacuum_old"
+    if not os.path.exists(old):
+        return None
+    if os.path.exists(blocks_dir):
+        shutil.rmtree(old, ignore_errors=True)
+        return "dropped_old_copy"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, blocks_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return "completed_swap"
+    os.rename(old, blocks_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return "rolled_back"
+
+
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
     """Garbage-collect stale block rows: crashed/retried runs append blocks
     whose (part_id, run_id) never commits to lineage — decode already
@@ -107,12 +139,17 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     directories (readers of the old dir finish against the old files; the
     Iceberg-style answer is the same swap done via metadata).
 
-    Returns {'rows_before', 'rows_after', 'bytes_reclaimed'}."""
+    The swap itself is two os.rename calls and therefore not atomic: a crash
+    between them leaves ``blocks_vacuum_old`` behind, which
+    :func:`repair_vacuum` (run on entry here and by decode) detects and
+    repairs in either direction. Returns {'rows_before', 'rows_after',
+    'bytes_reclaimed'}."""
     import os
     import shutil
 
     from cuda_float_compress_spark.operators.decode import committed_blocks
 
+    repair_vacuum(out_dir)
     blocks_dir = f"{out_dir}/blocks"
     before = spark.read.parquet(blocks_dir)
     rows_before = before.count()

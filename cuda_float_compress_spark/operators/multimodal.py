@@ -124,6 +124,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk — malformed, not fatal
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -133,7 +135,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
+    if channels == 0:
+        raise ValueError("fmt declares 0 channels")
     samples = np.frombuffer(data, dtype="<i2")
+    if len(samples) % channels:
+        raise ValueError("data chunk not a whole number of frames")
     return samples.reshape(-1, channels), rate
 
 
@@ -150,19 +156,199 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_scalar(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec 9.4): nearest of left/up/up-left to a+b-c,
+    ties breaking left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy+zlib PNG decode -> HxWx3 uint8 (no imaging library).
+
+    Supports the web-dominant profile: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, all five
+    scanline filters. Alpha is dropped (pipelines downstream are RGB).
+    Filters None/Sub/Up are fully vectorized per row (Sub is a per-lane
+    cumsum mod 256); Average/Paeth rows carry a true sequential dependence
+    on the reconstructed left neighbor, so those rows fall back to a
+    per-byte loop — bounded per row, and rare in practice for fixture-scale
+    payloads this decoder serves."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, bit, color, comp, filt_method, interlace = ihdr
+    if bit != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit={bit}, interlace={interlace}) — only "
+            "8-bit non-interlaced is implemented"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    rr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rr[:, 0]
+    rows = rr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.uint8)
+    zero_prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y]
+        prev = out[y - 1].astype(np.int32) if y else zero_prev
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: recon = cumsum of filt per byte lane, mod 256
+            rec = (np.cumsum(cur.reshape(w, nch), axis=0) & 0xFF).reshape(-1)
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average (sequential on recon-left)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential on recon-left)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                ul = prev[x - nch] if x >= nch else 0
+                rec[x] = (cur[x] + _paeth_scalar(int(left), int(prev[x]), int(ul))) & 0xFF
+            # (per-byte loop: Paeth's left-neighbor dependence is inherently
+            # sequential — bounded to this row)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    arr = out.reshape(h, w, nch)
+    if color == 2:
+        return arr
+    if color == 6:
+        return arr[:, :, :3]  # drop alpha
+    if color == 3:
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    # gray / gray+alpha -> replicate the luma channel
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """HxWx3 (or HxW) uint8 -> PNG bytes (test/fixture twin of decode_png).
+    ``filters``: per-row filter type (int or list, default 0) — lets tests
+    exercise every scanline filter; filtering uses the RECONSTRUCTED
+    neighbors, so encode is fully vectorized."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    rows = img.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    if filters is None:
+        ftypes = [0] * h
+    elif isinstance(filters, int):
+        ftypes = [filters] * h
+    else:
+        ftypes = list(filters)
+    lines = []
+    for y in range(h):
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.zeros(stride, np.int32)
+        left[nch:] = cur[:-nch]
+        ul = np.zeros(stride, np.int32)
+        ul[nch:] = prev[:-nch]
+        f = ftypes[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter type {f}")
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array. REAL for uncompressed
-    formats (BMP 24-bit, PPM P6); compressed formats need codec libraries not
-    present in this container — pass fake=True for the deterministic
-    stand-in (plumbing tests)."""
+    """Decode an image payload to an HxWx3 array. REAL for BMP 24-bit,
+    PPM P6, and PNG (8-bit, pure numpy+zlib — see decode_png); JPEG/WebP
+    need codec libraries not present in this container — pass fake=True for
+    the deterministic stand-in (plumbing tests)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "compressed-image decoding requires an imaging library not "
-            "present in this container; use BMP/PPM payloads or fake=True"
+            "JPEG/WebP decoding requires an imaging library not present in "
+            "this container; use BMP/PPM/PNG payloads or fake=True"
         )
     # deterministic fake: dimensions + pixels derived from the byte content
     h = 4 + (len(payload) % 13)
@@ -207,16 +393,16 @@ def image_thumbnails(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
     thumb: int = 8,
 ) -> DataFrame:
-    """mapInPandas image pipeline: REAL decode (BMP/PPM) -> nearest-neighbor
-    resize -> per-channel means. Non-image payloads are skipped (a training
-    pipeline routes by sniffed type first)."""
+    """mapInPandas image pipeline: REAL decode (BMP/PPM/PNG) ->
+    nearest-neighbor resize -> per-channel means. Non-image payloads are
+    skipped (a training pipeline routes by sniffed type first)."""
 
     def work(batches):
         for pdf in batches:
             rows = []
             for u, b in zip(pdf[url_col], pdf[bin_col]):
                 b = b if b is not None else b""
-                if b[:2] not in (b"BM", b"P6"):
+                if b[:2] not in (b"BM", b"P6") and b[:8] != _PNG_MAGIC:
                     continue
                 try:
                     img = decode_image(bytes(b))
@@ -255,7 +441,9 @@ def audio_feature_table(
                     continue
                 try:
                     f = audio_features(b)
-                except ValueError:
+                except (ValueError, struct.error):
+                    # malformed RIFF (truncated header/fmt, bad sizes) skips
+                    # the row — one bad payload must not kill the Spark task
                     continue
                 rows.append((u, f["sample_rate"], f["n_samples"], f["channels"],
                              f["duration_sec"], f["rms"], f["peak"]))

@@ -235,66 +235,59 @@ def _trunc_div(sums: np.ndarray, cnt: int) -> np.ndarray:
     return (s * (np.abs(sums) // cnt)).astype(np.int64)
 
 
+def kmeans_grid(Q: np.ndarray, n_lists: int, n_iters: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means over int64 grid vectors ``Q`` (rows
+    ordered by id): init = first n_lists rows, assign = squared-L2 argmin
+    (ties to lowest list id), update = trunc-div of int64 component sums
+    (order-independent — float means would drift between engines), empty
+    lists keep their previous centroid, exactly ``n_iters`` iterations.
+    Every step is engine-portable, so a SQL oracle replays it bit-for-bit."""
+    C = Q[:n_lists].copy()
+    for _ in range(n_iters):
+        d = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (Q @ C.T)
+        )
+        lids = np.argmin(d, axis=1)  # first occurrence = lowest list id
+        newC = C.copy()
+        for lid in range(len(C)):
+            members = Q[lids == lid]
+            if len(members):
+                newC[lid] = _trunc_div(members.sum(axis=0), len(members))
+        C = newC
+    return C
+
+
 def ivf_train_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
     n_iters: int = 2,
+    sample_size: int = 2048,
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means on the round(x*1e6) integer grid,
-    returning (n_lists, dim) int64 QUANTIZED centroids.
+    """Deterministic k-means coarse quantizer on the round(x*1e6) integer
+    grid, returning (n_lists, dim) int64 QUANTIZED centroids.
 
-    Every step is engine-portable, so a SQL oracle replays training exactly:
-    - init: the n_lists lowest-id vectors (no RNG);
-    - assign: integer-grid squared-L2 argmin, ties to lowest list id;
-    - update: centroid[d] = trunc_div(sum of member grid values, count) —
-      int64 sums are order-independent (float means would drift between
-      engines); empty lists keep their previous centroid;
-    - exactly ``n_iters`` iterations (no data-dependent stopping).
-
-    Scale: each iteration is ONE scan (Arrow-matmul assign) + ONE groupBy
-    with dim+1 sum/count aggregates — map-side partial aggregation, n_lists
-    result rows to the driver. No explode, no per-row Python."""
-    init_rows = (
+    Trains on the ``sample_size`` LOWEST-ID vectors (deterministic — no RNG,
+    no shuffle-order dependence), collected once and iterated driver-side in
+    numpy (:func:`kmeans_grid`). Sample-based training is the standard IVF
+    recipe (FAISS trains on ~256*n_lists points): at 100 TB the training
+    cost stays CONSTANT — one ordered-limit collect — while assignment,
+    the per-row part, runs distributed. A SQL oracle replays training over
+    the same ``ORDER BY id LIMIT sample_size`` subset."""
+    rows = (
         df.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
         .orderBy(id_col)
-        .limit(n_lists)
+        .limit(sample_size)
         .collect()
     )
-    C = quantize_grid([list(r[vec_col]) for r in init_rows])
-    dim = C.shape[1]
-    # quantize with the EXACT float ops _round_half_away uses (sign *
-    # floor(|x*1e6| + 0.5)) — F.round would go through BigDecimal-of-
-    # shortest-decimal-repr and can disagree with the numpy/SQL grid by one
-    # ulp, silently training different centroids than the final assignment
-    def _q(x):
-        xm = x * F.lit(1e6)
-        return (F.signum(xm) * F.floor(F.abs(xm) + F.lit(0.5))).cast("long")
-
-    qvec = F.transform(F.col(vec_col).cast("array<double>"), _q)
-    qdf = df.select(qvec.alias("__q")).filter(
-        F.col("__q").isNotNull() & (F.size("__q") == dim)
-    )
-    for _ in range(n_iters):
-        assigned = qdf.withColumn(
-            "__lid",
-            ivf_assign_col(F.col("__q"), C, quantized=True, vec_quantized=True),
-        )
-        aggs = [F.count(F.lit(1)).alias("cnt")] + [
-            F.sum(F.element_at("__q", d + 1)).alias(f"s{d}") for d in range(dim)
-        ]
-        stats = assigned.groupBy("__lid").agg(*aggs).collect()
-        newC = C.copy()
-        for r in stats:
-            lid, cnt = r["__lid"], r["cnt"]
-            if lid is None or cnt == 0:
-                continue
-            sums = np.array([r[f"s{d}"] for d in range(dim)], dtype=np.int64)
-            newC[lid] = _trunc_div(sums, cnt)
-        C = newC
-    return C
+    Q = quantize_grid([list(r[vec_col]) for r in rows])
+    if len(Q) < n_lists:
+        raise ValueError(f"need >= {n_lists} vectors to train, got {len(Q)}")
+    return kmeans_grid(Q, n_lists, n_iters)
 
 
 def ivf_topk(

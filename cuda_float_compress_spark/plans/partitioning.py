@@ -34,28 +34,48 @@ def skewed_hosts(
     n_parts: int = 32,
     skew_factor: float = 0.5,
     target_rows_per_part: int | None = None,
+    sample_fraction: float | None = None,
 ) -> dict[str, int]:
     """Hosts owning more than ``skew_factor``/n_parts of rows, mapped to the
     salt fan-out that splits them back to ~one-partition-sized slices.
 
     Returns {host: n_salts}. The result is small (≤ n_parts/skew_factor
     entries) so it broadcasts for free.
+
+    ``sample_fraction`` turns the scan into ONE job over a Bernoulli sample
+    of the key column (seeded — deterministic for a fixed input layout):
+    total and per-host counts both come from the same sampled groupBy,
+    scaled by 1/fraction. Exact counting needs two full passes over the key
+    column; at 100 TB a 0.1% sample misses only hosts too small to matter
+    (a host must own ~1/(2*n_parts) of ALL rows to need salting — ~10^8
+    sampled rows at that scale, far beyond sampling noise).
     """
-    total = df.count()
-    if total == 0:
-        return {}
-    per_part = max(1, total // max(1, n_parts))
-    threshold = max(1, int(per_part * skew_factor))
-    hot = (
-        df.select(host_expr(url_col).alias("__host"))
-        .groupBy("__host")
-        .count()
-        .filter(F.col("count") > threshold)
-        .collect()
-    )
+    frac = sample_fraction
+    keys = df.select(host_expr(url_col).alias("__host"))
+    if frac is not None and 0 < frac < 1:
+        keys = keys.sample(fraction=frac, seed=20240806)
+        scale = 1.0 / frac
+    else:
+        scale = 1.0
+    # ONE scan of the key column builds the per-host histogram; the total and
+    # the hot-host filter both read the cached histogram (never the input
+    # again). Only hosts above threshold reach the driver — collecting every
+    # host's count would be a driver OOM at web scale.
+    grouped = keys.groupBy("__host").count().persist()
+    try:
+        total_row = grouped.agg(F.sum("count").alias("t")).collect()[0]
+        total = int((total_row["t"] or 0) * scale)
+        if total == 0:
+            return {}
+        per_part = max(1, total // max(1, n_parts))
+        threshold = max(1, int(per_part * skew_factor))
+        hot = grouped.filter(F.col("count") * scale > threshold).collect()
+    finally:
+        grouped.unpersist()
     out = {}
     for r in hot:
-        n_salts = max(1, int(-(-r["count"] // per_part)))  # ceil
+        est = int(r["count"] * scale)
+        n_salts = max(1, int(-(-est // per_part)))  # ceil
         if n_salts > 1:
             out[r["__host"]] = n_salts
     return out

@@ -136,8 +136,11 @@ def encode_stream(
     (part_offset = epoch * n_parts) so block keys never collide across
     micro-batches; (b) the run_id is unique per ATTEMPT, and lineage is only
     written on success, so a foreachBatch retry's stale partial blocks carry
-    an uncommitted run_id that decode/manifest ignore; (c) an epoch whose
-    lineage is already committed is skipped entirely on checkpoint replay."""
+    an uncommitted run_id that decode/manifest ignore; (c) checkpoint replay
+    re-runs the epoch in resume mode — parts with a committed lineage row
+    are filtered out, so a fully-committed epoch is a metadata-only no-op
+    and a PARTIALLY-committed one (crash mid-lineage-write) re-encodes only
+    its missing parts instead of being wrongly skipped."""
     import uuid as _uuid
 
     from pyspark.sql import functions as _F
@@ -151,23 +154,18 @@ def encode_stream(
     stream = reader.parquet(source_dir)
 
     def sink(df, epoch_id: int):
+        # Replay safety: resume=True scopes the encode to parts WITHOUT a
+        # committed lineage row. A crash mid-lineage-commit can leave a
+        # visible SUBSET of an epoch's rows, so "any committed row with this
+        # epoch's run_id prefix" is not proof the epoch finished — skipping
+        # on that test would silently drop the never-committed parts' data.
+        # Part-id ranges are disjoint per epoch (part_offset), so the global
+        # done-part filter re-encodes exactly this epoch's missing parts and
+        # is a metadata-only no-op when the epoch fully committed.
         s = df.sparkSession
-        try:
-            lin = s.read.parquet(f"{out_dir}/lineage")
-            already = (
-                lin.filter(
-                    (_F.col("status") == "done")
-                    & _F.col("run_id").startswith(f"epoch-{epoch_id}-")
-                ).count()
-                > 0
-            )
-        except Exception:
-            already = False
-        if already:
-            return  # checkpoint replay of a committed epoch: idempotent skip
         encode_table(
             s, df, out_dir, url_col=url_col, n_parts=n_parts,
-            resume=False, detect_skew=False,
+            resume=True, detect_skew=False,
             run_id=f"epoch-{epoch_id}-{_uuid.uuid4().hex[:6]}",
             part_offset=int(epoch_id) * n_parts,
         )

@@ -280,6 +280,43 @@ def test_bytes_ld_sliced_array():
     assert d == b"bbbcccc"
 
 
+def test_list_float_nullable_roundtrip_arrow_native():
+    """Nullable list<float32> chunks round-trip through the Arrow-native
+    null re-insertion (validity bitmap + zero-length offsets at null slots
+    — no to_pylist anywhere in the decode path)."""
+    import pyarrow as pa
+
+    from cuda_float_compress_spark.operators import chunks as C
+
+    cases = [
+        [[1.0, 2.5], None, [], [float("nan"), float("inf")], None, [-0.0]],
+        [None, None, None],                      # all null
+        [None, [9.0, 8.0, 7.0]],                 # leading null
+        [[1.0], None],                           # trailing null
+        [[0.5] * 7],                             # no nulls
+    ]
+    for vals in cases:
+        arr = pa.array(vals, type=pa.list_(pa.float32()))
+        codec, payload, params, n, n_nulls = C.encode_column_chunk(
+            arr, "list_float32"
+        )
+        out = C.decode_column_chunk(
+            payload, codec, params, n, n_nulls, "list_float32"
+        )
+        assert out.type == pa.list_(pa.float32())
+        got, want = out.to_pylist(), arr.to_pylist()
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g is None
+            else:
+                assert len(g) == len(w)
+                for gv, wv in zip(g, w):
+                    assert (gv == wv) or (
+                        gv != gv and wv != wv  # NaN == NaN for this check
+                    )
+
+
 def test_ptype_rejects_lossy_timestamps():
     import pyarrow as pa
 

@@ -116,6 +116,40 @@ def test_streaming_encode_multi_epoch(spark, tmp_path):
     assert all(r["ok"] for r in rep), rep
 
 
+def test_streaming_partial_commit_replay(spark, tmp_path):
+    """A crash mid-lineage-commit leaves a visible SUBSET of an epoch's
+    lineage rows. The replay must re-encode exactly the missing parts — not
+    skip the epoch because 'some' of its rows committed (that skip silently
+    lost the uncommitted parts' data)."""
+    import shutil
+
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    df = generate_webpages_df(spark, 600, partitions=2)
+    out = str(tmp_path / "pc_out")
+    encode_table(spark, df, out, n_parts=4, resume=False, detect_skew=False,
+                 run_id="epoch-0-aaaaaa", part_offset=0)
+    lin_df = spark.read.parquet(f"{out}/lineage")
+    lin = lin_df.collect()
+    parts = sorted(r["part_id"] for r in lin)
+    assert len(parts) >= 2
+    # simulate the crash: drop the last part's lineage row (blocks remain)
+    keep = [r for r in lin if r["part_id"] != parts[-1]]
+    rewritten = spark.createDataFrame(keep, lin_df.schema)
+    rewritten.write.mode("overwrite").parquet(f"{tmp_path}/pc_lin_tmp")
+    shutil.rmtree(f"{out}/lineage")
+    shutil.copytree(f"{tmp_path}/pc_lin_tmp", f"{out}/lineage")
+    # replay (what encode_stream's sink now does): resume re-encodes ONLY
+    # the missing part under a fresh attempt id
+    stats = encode_table(spark, df, out, n_parts=4, resume=True,
+                         detect_skew=False, run_id="epoch-0-bbbbbb",
+                         part_offset=0)
+    assert stats["skipped_parts"] == len(keep)
+    decoded = decode_table(spark, out)
+    rep = verify_roundtrip(df, decoded, "url").collect()
+    assert all(r["ok"] for r in rep), rep
+
+
 def test_stale_partial_blocks_ignored(spark, tmp_path, scratch):
     """A crash between the blocks append and the lineage write leaves blocks
     with an uncommitted run_id: decode (both paths) and a subsequent encode's
@@ -276,6 +310,94 @@ def test_vacuum_reclaims_stale_blocks(spark, tmp_path, scratch):
     assert all(r["ok"] for r in rep), rep
     # idempotent: second vacuum reclaims nothing
     assert vacuum(spark, scratch)["bytes_reclaimed"] == 0
+
+
+def test_migrate_ref_dir_parallel_bit_identical(spark, tmp_path):
+    """Directory of reference-wire-format blobs migrates to native blobs in
+    one shuffle-free Spark fan-out; every migrated blob decodes
+    bit-identically to the reference decode."""
+    import numpy as np
+
+    from cuda_float_compress_spark.compat import cuszplus_decompress
+    from cuda_float_compress_spark.operators.migrate import migrate_ref_dir
+    from cuda_float_compress_spark.refformat import compress_ref, decompress_ref
+
+    src = tmp_path / "ref_archive"
+    dst = tmp_path / "native_archive"
+    src.mkdir()
+    rng = np.random.default_rng(9)
+    blobs = {}
+    for i in range(6):
+        vals = (rng.standard_normal(1500 + 37 * i) * 0.1).astype(np.float32)
+        blob = compress_ref(vals, max_error=1e-4)
+        (src / f"w{i}.bin").write_bytes(blob)
+        blobs[f"w{i}.bin"] = blob
+    rep = migrate_ref_dir(spark, str(src), str(dst)).collect()
+    assert len(rep) == 6 and all(r["ok"] for r in rep)
+    for r in rep:
+        ref_vals = decompress_ref(blobs[r["name"]])
+        native = cuszplus_decompress((dst / (r["name"] + ".czn")).read_bytes())
+        assert np.array_equal(
+            native.view(np.uint32), ref_vals.view(np.uint32)
+        ), r["name"]
+    # plan is pure fan-out: one mapInArrow over the file list, no shuffle of
+    # blob bytes (the report rows are the only thing that crosses Spark)
+    plan = migrate_ref_dir(spark, str(src), str(dst))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "mapInArrow" in plan
+    # lossy mode: stays within each blob's own error bound
+    rep2 = migrate_ref_dir(
+        spark, str(src), str(tmp_path / "lossy_archive"), mode="lossy"
+    ).collect()
+    assert all(r["ok"] for r in rep2)
+
+
+def test_vacuum_crash_window_repair(spark, tmp_path, scratch):
+    """A crash between vacuum's two renames leaves the table with no blocks
+    dir; repair_vacuum (also invoked by decode's blocks_of) restores it in
+    every crash window."""
+    import os
+    import shutil
+
+    from cuda_float_compress_spark.operators.maintain import repair_vacuum
+
+    src = str(tmp_path / "vcw_src")
+    generate_webpages_df(spark, 400, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False,
+                        target_rows_per_split=200)
+    blocks, tmp, old = (
+        f"{scratch}/blocks", f"{scratch}/blocks_vacuum_tmp",
+        f"{scratch}/blocks_vacuum_old",
+    )
+    original = spark.read.parquet(src)
+
+    # window 1: crash between rename(blocks->old) and rename(tmp->blocks),
+    # tmp rewrite complete -> repair finishes the swap
+    shutil.copytree(blocks, tmp)
+    os.rename(blocks, old)
+    assert repair_vacuum(scratch) == "completed_swap"
+    assert os.path.exists(blocks) and not os.path.exists(old)
+    rep = verify_roundtrip(original, decode_table(spark, scratch), "url").collect()
+    assert all(r["ok"] for r in rep)
+
+    # window 2: same crash but tmp has no _SUCCESS -> roll back to old copy
+    shutil.copytree(blocks, tmp)
+    os.remove(f"{tmp}/_SUCCESS")
+    os.rename(blocks, old)
+    assert repair_vacuum(scratch) == "rolled_back"
+    assert os.path.exists(blocks) and not os.path.exists(tmp)
+
+    # window 3: crash after the swap, old copy left behind -> dropped; the
+    # decode read path triggers the repair itself
+    shutil.copytree(blocks, old)
+    assert decode_table(spark, scratch).count() == 400
+    assert repair_vacuum(scratch) in (None, "dropped_old_copy")
+    assert not os.path.exists(old)
+
+    # and a blocks-dir-missing table heals transparently through decode
+    shutil.copytree(blocks, tmp)
+    os.rename(blocks, old)
+    rep = verify_roundtrip(original, decode_table(spark, scratch), "url").collect()
+    assert all(r["ok"] for r in rep)
 
 
 def test_decode_parts_subset(spark, tmp_path, scratch):

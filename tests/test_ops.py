@@ -186,6 +186,45 @@ def test_lsh_bucket_caps_bound_skew(spark):
     assert obs2.get["dropped_members"] == 4 * (n - 64)  # 4 bands
 
 
+def test_bucket_cap_recall_monotone_and_observable(spark):
+    """The bucket cap is the engine's recall knob on skewed corpora: pair
+    recall is MONOTONE in the cap, the exact drop counts are observable, and
+    pairs outside the hot group are never sacrificed (their buckets are tiny).
+
+    Corpus: 200 identical docs (the hot group — true pairs C(200,2)) + 20
+    two-doc exact-dup groups (true pairs 20) + 60 unique docs."""
+    from pyspark.sql import Observation
+
+    rows = []
+    did = 0
+    for _ in range(200):
+        rows.append((did, "hot boilerplate banner accept all cookies now ok")); did += 1
+    for g in range(20):
+        t = f"pair group {g} has its own private words alpha beta gamma {g}"
+        rows.append((did, t)); did += 1
+        rows.append((did, t)); did += 1
+    for u in range(60):
+        rows.append((did, f"unique document {u} totally different content {u * 17} xyz {u * 31}")); did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    found, drops = {}, {}
+    for cap in (32, 64, 128):
+        obs = Observation(f"cap_{cap}")
+        pairs = dedup.minhash_lsh_pairs(
+            df, "doc_id", threshold=0.9, bucket_cap=cap,
+            observation=obs, shingle_mode="word",
+        ).count()
+        found[cap] = pairs
+        drops[cap] = obs.get["dropped_members"]
+    # recall is monotone in the cap; every cap keeps the 20 small groups
+    for cap in (32, 64, 128):
+        kept_hot = min(cap, 200)
+        assert found[cap] == kept_hot * (kept_hot - 1) // 2 + 20, (cap, found)
+        assert drops[cap] == 4 * (200 - kept_hot), (cap, drops)  # 4 bands
+    assert found[32] < found[64] < found[128]
+    assert drops[32] > drops[64] > drops[128] > 0
+
+
 def test_embedding_neardup_cap(spark):
     """Identical vectors land in one bucket; the cap bounds the self-join."""
     from pyspark.sql import Observation
@@ -341,6 +380,144 @@ def test_decoders_reject_corrupt_media():
         multimodal.decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 48)
     with _pytest.raises(ValueError):
         multimodal.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # truncated fmt chunk (would be struct.error), zero channels, and a
+    # data chunk that is not a whole number of frames all raise ValueError
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(
+            b"RIFF\x10\x00\x00\x00WAVE" + b"fmt " + b"\x04\x00\x00\x00" + b"\x01\x00\x02\x00"
+        )
+    import struct as _struct
+
+    bad_ch = b"fmt " + _struct.pack("<I", 16) + _struct.pack(
+        "<HHIIHH", 1, 0, 8000, 0, 0, 16
+    )
+    data = b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x30\x00\x00\x00WAVE" + bad_ch + data)
+    odd = b"fmt " + _struct.pack("<I", 16) + _struct.pack(
+        "<HHIIHH", 1, 2, 8000, 32000, 4, 16
+    ) + b"data" + _struct.pack("<I", 6) + b"\x00" * 6
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x38\x00\x00\x00WAVE" + odd)
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """decode_png (pure numpy+zlib) recovers exact pixels for every scanline
+    filter (None/Sub/Up/Average/Paeth) and color type the web profile uses."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        png = multimodal.encode_png(img, filters=f)
+        assert np.array_equal(multimodal.decode_png(png), img), f
+    # mixed filters per row
+    png = multimodal.encode_png(img, filters=[y % 5 for y in range(11)])
+    assert np.array_equal(multimodal.decode_png(png), img)
+    # grayscale replicates to RGB
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    out = multimodal.decode_png(multimodal.encode_png(gray, filters=4))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # RGBA drops alpha
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    out = multimodal.decode_png(multimodal.encode_png(rgba, filters=3))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # decode_image dispatches on the PNG magic
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png(img)), img
+    )
+
+
+def test_png_paeth_filter_pinned():
+    """Paeth predictor matches the spec by hand: recon = filt + paeth(left,
+    up, upleft) with the tie-break order left, up, up-left."""
+    import numpy as np
+    import struct
+    import zlib
+
+    # 2x2 gray image, row 0 filter None, row 1 filter Paeth
+    # recon row0 = [10, 20]; row1 recon = [13, 21]
+    # paeth for row1 x0: left=0, up=10, ul=0 -> p=10, pred=up=10, filt=3
+    # x1: left=13, up=20, ul=10 -> p=23, pa=10, pb=3, pc=13 -> pred=up=20, filt=1
+    raw = bytes([0, 10, 20, 4, 3, 1])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(typ, body):
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(png)
+    assert np.array_equal(out[:, :, 0], np.array([[10, 20], [13, 21]]))
+
+
+def test_png_rejects_corrupt():
+    import pytest as _pytest
+
+    good = multimodal.encode_png(
+        __import__("numpy").zeros((2, 2, 3), dtype="uint8")
+    )
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\nXXXX")
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(good[:-20])  # cuts into the IDAT chunk body
+    with _pytest.raises(ValueError):
+        # corrupt IHDR: claim 16-bit depth
+        bad = bytearray(good)
+        bad[24] = 16
+        multimodal.decode_png(bytes(bad))
+
+
+def test_image_thumbnails_over_png(spark):
+    """The thumbnail pipeline decodes real PNG payloads: dims and channel
+    means pinned against the source array."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (24, 12, 3), dtype=np.uint8)
+    png = multimodal.encode_png(img, filters=[y % 5 for y in range(24)])
+    df = spark.createDataFrame(
+        [("p1", bytearray(png)), ("junk", b"not-an-image")],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in multimodal.image_thumbnails(df).collect()}
+    assert set(rows) == {"p1"}
+    t = rows["p1"]
+    assert (t["width"], t["height"]) == (12, 24)
+    exp = multimodal.resize_image(img, 8, 8).reshape(-1, 3).mean(axis=0)
+    assert abs(t["mean_r"] - exp[0]) < 1e-3
+    assert abs(t["mean_b"] - exp[2]) < 1e-3
+
+
+def test_audio_feature_table_skips_malformed_riff(spark):
+    """One malformed RIFF payload must skip its row, not kill the task."""
+    import numpy as np
+
+    tone = (np.sin(np.arange(800) / 8) * 16000).astype(np.int16)
+    good = multimodal.encode_wav(tone, rate=8000)
+    import struct as _struct
+
+    trunc_fmt = (
+        b"RIFF\x10\x00\x00\x00WAVE" + b"fmt " + b"\x04\x00\x00\x00" + b"\x01\x00\x02\x00"
+    )
+    zero_ch = (
+        b"RIFF\x30\x00\x00\x00WAVE"
+        + b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+        + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("t", bytearray(trunc_fmt)),
+         ("z", bytearray(zero_ch))],
+        "url string, payload binary",
+    )
+    out = {r["url"] for r in multimodal.audio_feature_table(df).collect()}
+    assert out == {"good"}
 
 
 def test_minhash_components_are_distinct_permutations(spark):

@@ -111,6 +111,32 @@ def test_skew_salting_splits_hot_hosts(spark, webpages):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_skew_sampled_detection_and_lineage_reuse(spark, webpages, scratch):
+    """Sampled skew detection (one job over a key sample) still finds the
+    hot zipf hosts, and a prior run's salt map is recoverable from lineage
+    for metadata-only planning on the next run."""
+    from cuda_float_compress_spark.operators.encode import salts_from_lineage
+
+    exact = skewed_hosts(webpages, "url", n_parts=8)
+    sampled = skewed_hosts(webpages, "url", n_parts=8, sample_fraction=0.5)
+    assert exact, "zipf generator should produce a hot host"
+    # the hottest host survives sampling (estimates may differ in fan-out)
+    hottest = max(exact, key=exact.get)
+    assert hottest in sampled, (exact, sampled)
+    stats = encode_table(spark, webpages, scratch, n_parts=8, resume=False)
+    assert stats["salts"] == exact
+    assert salts_from_lineage(spark, scratch) == exact
+    # explicit salts skip detection entirely and stay resumable
+    stats2 = encode_table(
+        spark, webpages, f"{scratch}_reuse", n_parts=8, resume=False,
+        salts=salts_from_lineage(spark, scratch),
+    )
+    assert stats2["salts"] == exact
+    decoded = decode_table(spark, f"{scratch}_reuse")
+    rep = verify_roundtrip(webpages, decoded, "url").collect()
+    assert all(r["ok"] for r in rep)
+
+
 def test_range_partition_mode(spark, webpages, scratch):
     encode_table(
         spark, webpages, scratch, n_parts=4, mode="range", resume=False
