@@ -608,6 +608,53 @@ def _events_type_share(spark, sf_dir):
     )
 
 
+def _acctbal_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (p25/p50/p75) of supplier
+    account balance per nation — Spark's percentile() and SQL quantile_cont
+    share the same interpolation rule, so values hash-match exactly."""
+    sup = _read(spark, sf_dir, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(s_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(s_acctbal, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(s_acctbal, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
+def _customers_with_orders_exists(spark, sf_dir):
+    """Correlated EXISTS (decorrelated to a left-semi join): customers with
+    at least one order, counted per market segment."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _top_words(spark, sf_dir):
+    """Lateral-view explode (UDTF-shaped flatten): whitespace tokens of every
+    document, top 15 by frequency with deterministic tie-break."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(15)
+    )
+
+
 def _customers_without_orders(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
@@ -802,6 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_texts": _kmv_distinct_texts,
         "events_type_share": _events_type_share,
         "customers_without_orders": _customers_without_orders,
+        "acctbal_percentiles": _acctbal_percentiles,
+        "customers_with_orders_exists": _customers_with_orders_exists,
+        "top_words": _top_words,
         "order_priority_histogram": _order_priority_histogram,
         "compression_raw_sizes": _compression_raw_sizes,
         "roundtrip_verify": _roundtrip_verify,
@@ -1244,6 +1294,29 @@ def oracle_sql() -> dict[str, str]:
         "events_type_share": """
             SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share
             FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        """,
+        "acctbal_percentiles": """
+            SELECT s_nationkey, count(*) AS n,
+                   round(quantile_cont(s_acctbal::DOUBLE, 0.25), 4) AS p25,
+                   round(quantile_cont(s_acctbal::DOUBLE, 0.5), 4)  AS p50,
+                   round(quantile_cont(s_acctbal::DOUBLE, 0.75), 4) AS p75
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "customers_with_orders_exists": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "top_words": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            )
+            SELECT word, count(*) AS n FROM toks
+            WHERE length(word) > 0
+            GROUP BY word ORDER BY n DESC, word LIMIT 15
         """,
         "customers_without_orders": """
             SELECT count(*) AS n_customers_without_orders
