@@ -68,6 +68,30 @@ def _word_shingle_hash_sql(w: int = 5, rot_step: int = 8) -> str:
 
 _WORD_SHINGLE_HASH_SQL = _word_shingle_hash_sql()
 
+# shared CTE recomputing the engine's stopword-marker language ID
+# (operators/text.py:lang_id_col) — used by lang_id_pred and clean_corpus
+_LANG_PRED_CTE = """scores AS (
+                SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))      AS s_en,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b'))   AS s_de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|les|est|avec)\\b'))    AS s_fr,
+                   len(regexp_extract_all(lower(text), '\\b(el|los|es|para|con)\\b'))    AS s_es,
+                   len(regexp_extract_all(lower(text), '\\b(\u0438|\u043d\u0435|\u043d\u0430|\u0447\u0442\u043e|\u044d\u0442\u043e)\\b')) AS s_ru,
+                   len(regexp_extract_all(lower(text), '\\b(o|que|do|da|em)\\b'))        AS s_pt
+                FROM documents
+            ),
+            lang AS (
+                SELECT doc_id,
+                   CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'en'
+                        WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'de'
+                        WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'fr'
+                        WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'es'
+                        WHEN s_ru = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'ru'
+                        ELSE 'pt' END AS lang_pred
+                FROM scores
+            )"""
+
 # shared CTE chain recomputing the engine's 60-bit SimHash signatures,
 # 15-bit-block LSH buckets (capped), and candidate pairs in DuckDB SQL —
 # used by both the simhash_pairs oracle and the dup_components oracle
@@ -439,6 +463,94 @@ def _dup_components(spark, sf_dir):
         pairs, docs.select(F.col("doc_id").alias("id")), "id"
     )
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def _dedup_keep_list(spark, sf_dir):
+    """The deduplicated corpus keep-list: SimHash near-dup pairs -> connected
+    components -> one representative (min id) per component, singletons kept.
+    This is the row-level output a training pipeline actually materializes."""
+    from cuda_float_compress_spark.operators.dedup import (
+        dedup_keep_list,
+        simhash_near_dups,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, "doc_id", max_hamming=3)
+    return dedup_keep_list(docs, pairs, "doc_id")
+
+
+def _clean_corpus(spark, sf_dir):
+    """The composed training-data endpoint: exact-dedup keep-list AND
+    language filter AND quality filters in one pass — what a 100 TB corpus
+    pipeline materializes before tokenization. Every ingredient is its own
+    oracle-green query; this verifies their composition."""
+    from cuda_float_compress_spark.operators.dedup import exact_dedup
+    from cuda_float_compress_spark.operators.text import (
+        quality_score_cols,
+        with_lang_id,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, "doc_id").select(F.col("keep_id").alias("doc_id"))
+    q = with_lang_id(docs)
+    cols = quality_score_cols(F.col("text"))
+    q = q.withColumn("punct_ratio", cols["punct_ratio"]).withColumn(
+        "nc", cols["n_chars"]
+    )
+    good = q.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("nc") >= 100)
+    )
+    return good.join(keep, "doc_id", "left_semi").select("doc_id", "punct_ratio")
+
+
+def _stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: per-language keep rates
+    (en 30%, others 10%) decided by hash60(doc_id) % 1000 — reproducible on
+    any engine, no RNG, no shuffle (a pure filter that fuses into the scan)."""
+    from cuda_float_compress_spark.operators.dedup import hash60_col
+
+    docs = _read(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(300)).otherwise(F.lit(100))
+    bucket = F.pmod(hash60_col(F.col("doc_id").cast("string")), F.lit(1000))
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+def _bigram_topk(spark, sf_dir):
+    """Top-20 word bigrams (n-gram counting — the LLM-corpus staple)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def _doc_freq_topk(spark, sf_dir):
+    """Document frequency per token, top 20 — the df side of tf-idf and the
+    cheap stopword detector (distinct tokens per doc, then a count)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
 
 
 def _ann_lsh_topk(spark, sf_dir):
@@ -817,6 +929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_docs": _window_topk_docs,
         "rollup_events": _rollup_events,
         "cube_events": _cube_events,
+        "dedup_keep_list": _dedup_keep_list,
+        "clean_corpus": _clean_corpus,
+        "stratified_sample": _stratified_sample,
+        "bigram_topk": _bigram_topk,
+        "doc_freq_topk": _doc_freq_topk,
         "pivot_linestatus": _pivot_linestatus,
         "set_ops_langs": _set_ops_langs,
         "distinct_counts": _distinct_counts,
@@ -1102,26 +1219,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS group_size
             FROM documents GROUP BY md5(text)
         """,
-        "lang_id_pred": """
-            WITH scores AS (
-                SELECT doc_id,
-                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))      AS s_en,
-                   len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b'))   AS s_de,
-                   len(regexp_extract_all(lower(text), '\\b(le|la|les|est|avec)\\b'))    AS s_fr,
-                   len(regexp_extract_all(lower(text), '\\b(el|los|es|para|con)\\b'))    AS s_es,
-                   len(regexp_extract_all(lower(text), '\\b(\u0438|\u043d\u0435|\u043d\u0430|\u0447\u0442\u043e|\u044d\u0442\u043e)\\b')) AS s_ru,
-                   len(regexp_extract_all(lower(text), '\\b(o|que|do|da|em)\\b'))        AS s_pt
-                FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) = 0 THEN 'und'
-                        WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'en'
-                        WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'de'
-                        WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'fr'
-                        WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'es'
-                        WHEN s_ru = greatest(s_en,s_de,s_fr,s_es,s_ru,s_pt) THEN 'ru'
-                        ELSE 'pt' END AS lang_pred
-            FROM scores
+        "lang_id_pred": f"""
+            WITH {_LANG_PRED_CTE}
+            SELECT doc_id, lang_pred FROM lang
         """,
         "jaccard_consecutive_docs": """
             WITH sh AS (
@@ -1399,6 +1499,74 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig a ON a.doc_id = c.id_a
             JOIN sig b ON b.doc_id = c.id_b
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dedup_keep_list": f"""
+            WITH RECURSIVE {_SIMHASH_CTES},
+            spairs AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.id_a
+                JOIN sig b ON b.doc_id = c.id_b
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM spairs
+                UNION
+                SELECT id_b, id_a FROM spairs
+            ),
+            reach(id, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+            )
+            SELECT id AS doc_id FROM (
+                SELECT id, min(label) AS component FROM reach GROUP BY id
+            ) WHERE component = id
+        """,
+        "clean_corpus": f"""
+            WITH {_LANG_PRED_CTE},
+            keepers AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            q AS (
+                SELECT doc_id,
+                       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+                       length(text) AS nc
+                FROM documents
+            )
+            SELECT q.doc_id, q.punct_ratio
+            FROM q
+            JOIN lang USING (doc_id)
+            JOIN keepers USING (doc_id)
+            WHERE lang.lang_pred = 'en' AND q.punct_ratio <= 0.2 AND q.nc >= 100
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+                  < CASE WHEN lang = 'en' THEN 300 ELSE 100 END
+        """,
+        "bigram_topk": """
+            WITH toks AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(text), '\\s+') END AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "doc_freq_topk": """
+            WITH tk AS (
+                SELECT unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS df FROM tk
+            WHERE length(token) > 0
+            GROUP BY token ORDER BY df DESC, token LIMIT 20
         """,
         "dup_components": f"""
             WITH RECURSIVE {_SIMHASH_CTES},
