@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 MIGRATE_REPORT_SCHEMA = (
     "name string, n_floats long, ref_bytes long, native_bytes long, "
-    "max_error double, ok boolean"
+    "max_error double, ok boolean, error string"
 )
 
 
@@ -63,6 +63,8 @@ def migrate_ref_dir(
     )
 
     def work(batches):
+        import struct as _struct
+
         import numpy as np
 
         from cuda_float_compress_spark.compat import (
@@ -75,40 +77,64 @@ def migrate_ref_dir(
         for batch in batches:
             rows = {k: [] for k in
                     ("name", "n_floats", "ref_bytes", "native_bytes",
-                     "max_error", "ok")}
+                     "max_error", "ok", "error")}
             for name in batch.column("name").to_pylist():
                 blob = open(os.path.join(src_dir, name), "rb").read()
-                n, eps = probe_ref(blob)  # header epsilon = 2 * max_error
-                max_error = eps / 2.0
-                vals = decompress_ref(blob)
-                if mode == "lossless":
-                    out = compress_lossless_f32(vals)
-                else:
-                    out = cuszplus_compress(vals, max_error=max_error)
-                dst = os.path.join(dst_dir, name + suffix)
-                tmp = dst + ".tmp"
-                with open(tmp, "wb") as fh:
-                    fh.write(out)
-                os.replace(tmp, dst)  # atomic publish
-                back = cuszplus_decompress(open(dst, "rb").read())
-                if mode == "lossless":
-                    ok = bool(
-                        np.array_equal(
-                            back.view(np.uint32), vals.view(np.uint32)
+                try:
+                    n, eps = probe_ref(blob)  # header epsilon = 2*max_error
+                    max_error = eps / 2.0
+                    vals = decompress_ref(blob)
+                    if mode == "lossless":
+                        out = compress_lossless_f32(vals)
+                    else:
+                        out = cuszplus_compress(vals, max_error=max_error)
+                    dst = os.path.join(dst_dir, name + suffix)
+                    tmp = dst + ".tmp"
+                    with open(tmp, "wb") as fh:
+                        fh.write(out)
+                    os.replace(tmp, dst)  # atomic publish
+                    back = cuszplus_decompress(open(dst, "rb").read())
+                    if mode == "lossless":
+                        ok = bool(
+                            np.array_equal(
+                                back.view(np.uint32), vals.view(np.uint32)
+                            )
+                        )  # bit-identical incl. NaN payloads
+                    else:
+                        # 1 ulp of slack: the bound itself is a f32 product
+                        ok = bool(
+                            np.nanmax(np.abs(back - vals), initial=0.0)
+                            <= max_error * (1 + 1e-6)
                         )
-                    )  # bit-identical incl. NaN payloads
-                else:
-                    # 1 ulp of slack: the bound itself is a float32 product
-                    ok = bool(
-                        np.nanmax(np.abs(back - vals), initial=0.0)
-                        <= max_error * (1 + 1e-6)
-                    )
+                    rows["n_floats"].append(int(n))
+                    rows["native_bytes"].append(len(out))
+                    rows["max_error"].append(float(max_error))
+                    rows["ok"].append(ok)
+                    rows["error"].append(None)
+                except (ValueError, _struct.error, OSError) as e:
+                    # (pyarrow's ArrowInvalid subclasses ValueError)
+                    # corrupt blob (bad magic, truncated zstd frame, short
+                    # header): report the file, don't kill the whole task —
+                    # an archive sweep must survive individual bad files
+                    rows["n_floats"].append(None)
+                    rows["native_bytes"].append(None)
+                    rows["max_error"].append(None)
+                    rows["ok"].append(False)
+                    rows["error"].append(f"{type(e).__name__}: {e}")
                 rows["name"].append(name)
-                rows["n_floats"].append(int(n))
                 rows["ref_bytes"].append(len(blob))
-                rows["native_bytes"].append(len(out))
-                rows["max_error"].append(float(max_error))
-                rows["ok"].append(ok)
-            yield pa.RecordBatch.from_pydict(rows)
+            yield pa.RecordBatch.from_pydict(
+                rows, schema=pa.schema(
+                    [
+                        ("name", pa.string()),
+                        ("n_floats", pa.int64()),
+                        ("ref_bytes", pa.int64()),
+                        ("native_bytes", pa.int64()),
+                        ("max_error", pa.float64()),
+                        ("ok", pa.bool_()),
+                        ("error", pa.string()),
+                    ]
+                ),
+            )
 
     return df.mapInArrow(work, MIGRATE_REPORT_SCHEMA)

@@ -120,6 +120,74 @@ def run_stateful_counts(
     ).drop("rn")
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup for continuous ingest: per-fingerprint
+    state (applyInPandasWithState) admits only the first-seen document of
+    each whitespace-normalized-md5 group; later micro-batches containing the
+    same text emit nothing. Within a micro-batch the min id wins
+    (deterministic); across micro-batches the earliest epoch wins — the
+    streaming analog of exact_dedup's keep-list, with the state store
+    playing the role of the seen-set at 100 TB (state is one fingerprint ->
+    one id, nothing document-sized).
+
+    Returns the keeper list (fingerprint, id)."""
+    import pandas as pd
+
+    batch_df = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    ).alias("fingerprint")
+    keyed = stream.select(fp, F.col(id_col).alias("id"))
+
+    def keep_first(key, pdfs, state):
+        if state.exists:
+            # fingerprint already admitted in an earlier micro-batch
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((best,))
+        yield pd.DataFrame({"fingerprint": [key[0]], "id": [best]})
+
+    out = keyed.groupBy("fingerprint").applyInPandasWithState(
+        keep_first,
+        outputStructType="fingerprint string, id long",
+        stateStructType="keeper long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT fingerprint, id AS {id_col} FROM {query_name}"
+    ).dropDuplicates(["fingerprint"])
+
+
 def encode_stream(
     spark: SparkSession,
     source_dir: str,

@@ -350,6 +350,17 @@ def test_migrate_ref_dir_parallel_bit_identical(spark, tmp_path):
     ).collect()
     assert all(r["ok"] for r in rep2)
 
+    # corrupt blobs are REPORTED, not fatal: bad magic + truncated payload
+    (src / "bad_magic.bin").write_bytes(b"\xde\xad\xbe\xef" + b"\x00" * 40)
+    good_blob = blobs["w0.bin"]
+    (src / "truncated.bin").write_bytes(good_blob[: len(good_blob) // 2])
+    rep3 = {r["name"]: r for r in
+            migrate_ref_dir(spark, str(src), str(tmp_path / "mixed")).collect()}
+    assert len(rep3) == 8
+    assert not rep3["bad_magic.bin"]["ok"] and rep3["bad_magic.bin"]["error"]
+    assert not rep3["truncated.bin"]["ok"] and rep3["truncated.bin"]["error"]
+    assert all(rep3[f"w{i}.bin"]["ok"] for i in range(6))  # good ones fine
+
 
 def test_vacuum_crash_window_repair(spark, tmp_path, scratch):
     """A crash between vacuum's two renames leaves the table with no blocks

@@ -670,7 +670,50 @@ def test_hyperplane_bucket_high_dim_1024(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
 
 
-def test_streaming_session_windows_match_batch(spark):
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Exact dedup with cross-epoch state: duplicates spread over three
+    micro-batch files collapse to one keeper per fingerprint; keepers are
+    group members; the fingerprint set matches the batch computation."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.streaming import run_streaming_dedup
+
+    src = tmp_path / "sd_src"
+    src.mkdir()
+    rows = [
+        # file 0: two dups of A, one B
+        [(0, "alpha  text"), (1, "alpha text"), (2, "bravo text")],
+        # file 1: A again (later epoch — must be suppressed), C
+        [(3, "alpha text"), (4, "charlie text")],
+        # file 2: B again, D, blank
+        [(5, "bravo text"), (6, "delta text"), (7, "   ")],
+    ]
+    for i, chunk in enumerate(rows):
+        pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
+            src / f"part{i}.parquet"
+        )
+    out = run_streaming_dedup(
+        spark, str(src), max_files_per_trigger=1,
+        query_name="sdtest",
+    ).collect()
+    keep = {r["fingerprint"]: r["doc_id"] for r in out}
+    docs = spark.read.parquet(str(src))
+    batch = {
+        r["text_md5"]: r["keep_id"]
+        for r in __import__(
+            "cuda_float_compress_spark.operators.dedup", fromlist=["exact_dedup"]
+        ).exact_dedup(
+            docs.withColumn(
+                "text", F.regexp_replace(F.trim("text"), r"\s+", " ")
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert set(keep) == set(batch)  # same fingerprint universe
+    # every keeper belongs to its group; first-epoch-wins means the batch
+    # min-id and streaming keeper agree whenever the min id is in the
+    # earliest epoch containing the group (true for this fixture)
+    assert keep == batch, (keep, batch)
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
     differ — streaming closes at >=, batch at > — none exists in the fixture)."""
