@@ -51,7 +51,7 @@ def _word_shingle_hash_sql(w: int = 5, rot_step: int = 8) -> str:
     across engines."""
     terms = []
     for j in range(w):
-        r = rot_step * j
+        r = (rot_step * j) % 60  # same mod-60 reduction as the engine _rot60
         idx = f"i + {j}" if j else "i"
         val = f"coalesce(w[{idx}], 0)"
         if r == 0:
@@ -1017,11 +1017,14 @@ def _ivf_oracle_sql(
     sum_cols = ", ".join(f"sum(q[{d + 1}]) AS s{d}" for d in range(dim))
     div_terms = ", ".join(f"(u.s{d} // u.cnt)::BIGINT" for d in range(dim))
     parts = [
+        # NULL embeddings are excluded end-to-end, matching the engine: the
+        # trainer filters isNotNull and assignment maps NULL vectors to a
+        # NULL list id that is never probed or scored
         "WITH grid AS (\n"
         "    SELECT vec_id,\n"
         "           list_transform(embedding,\n"
         "                          x -> round(x::DOUBLE * 1e6)::BIGINT) AS q\n"
-        "    FROM embeddings\n"
+        "    FROM embeddings WHERE embedding IS NOT NULL\n"
         ")",
         # training subset: the sample_size lowest-id vectors (deterministic)
         "tgrid AS (\n"

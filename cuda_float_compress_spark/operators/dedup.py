@@ -130,7 +130,10 @@ ROT_STEP = 8  # per-window-position rotation distance for word-shingle hashes
 def _rot60(x: Column, r: int) -> Column:
     """Rotate a 60-bit value left by ``r`` (mask-first so the int64 shift
     never touches the sign bit). Portable: DuckDB ((x & low) << r) | (x >> s)
-    computes the identical value for non-negative x."""
+    computes the identical value for non-negative x. ``r`` is reduced mod 60
+    (shingle_k >= 9 rotates by 8*8=64, which would otherwise shift by a
+    negative count) — the SQL generator applies the same reduction."""
+    r %= 60
     if r == 0:
         return x
     low = (1 << (60 - r)) - 1

@@ -190,17 +190,27 @@ def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
     return encode_partition
 
 
-def completed_parts(spark: SparkSession, out_dir: str) -> list[int]:
-    """part_ids with a 'done' lineage record (checkpoint-resume source)."""
+def completed_parts(
+    spark: SparkSession,
+    out_dir: str,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> list[int]:
+    """part_ids with a 'done' lineage record (checkpoint-resume source).
+    ``lo``/``hi`` bound the scan to one part-id range — essential for
+    streaming replay, where each epoch owns [epoch*n_parts, +n_parts) and
+    collecting EVERY epoch's ids would grow the driver list and the isin()
+    predicate without bound over the stream's lifetime."""
     try:
         lineage = spark.read.parquet(f"{out_dir}/lineage")
     except Exception:
         return []
-    return [
-        r["part_id"]
-        for r in lineage.filter(F.col("status") == "done")
-        .select("part_id").distinct().collect()
-    ]
+    done = lineage.filter(F.col("status") == "done")
+    if lo is not None:
+        done = done.filter(F.col("part_id") >= lo)
+    if hi is not None:
+        done = done.filter(F.col("part_id") < hi)
+    return [r["part_id"] for r in done.select("part_id").distinct().collect()]
 
 
 def salts_from_lineage(spark: SparkSession, out_dir: str) -> dict | None:
@@ -279,7 +289,14 @@ def encode_table(
                 "part_id", (F.col("part_id") + F.lit(part_offset)).cast("int")
             )
 
-    done = completed_parts(spark, out_dir) if resume else []
+    # this run's parts all lie in [part_offset, part_offset + n_parts), so
+    # the resume filter only needs done ids from that range (constant-sized
+    # even at streaming epoch 10^5)
+    done = (
+        completed_parts(spark, out_dir, part_offset, part_offset + n_parts)
+        if resume
+        else []
+    )
     if done:
         planned = planned.filter(~F.col("part_id").isin(done))
 

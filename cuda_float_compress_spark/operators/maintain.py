@@ -122,11 +122,24 @@ def repair_vacuum(out_dir: str) -> str | None:
     if os.path.exists(blocks_dir):
         shutil.rmtree(old, ignore_errors=True)
         return "dropped_old_copy"
+    # Two readers can race these renames (repair runs from the decode read
+    # path): whoever loses the rename just observes the winner's result —
+    # any OSError with blocks_dir present afterwards means repaired-by-other.
     if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, blocks_dir)
+        try:
+            os.rename(tmp, blocks_dir)
+        except OSError:
+            if not os.path.exists(blocks_dir):
+                raise
         shutil.rmtree(old, ignore_errors=True)
         return "completed_swap"
-    os.rename(old, blocks_dir)
+    try:
+        os.rename(old, blocks_dir)
+    except OSError:
+        if not os.path.exists(blocks_dir):
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        return "completed_swap"  # another repairer won the race
     shutil.rmtree(tmp, ignore_errors=True)
     return "rolled_back"
 

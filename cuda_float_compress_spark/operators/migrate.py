@@ -79,8 +79,12 @@ def migrate_ref_dir(
                     ("name", "n_floats", "ref_bytes", "native_bytes",
                      "max_error", "ok", "error")}
             for name in batch.column("name").to_pylist():
-                blob = open(os.path.join(src_dir, name), "rb").read()
+                blob = b""
                 try:
+                    # the read sits INSIDE the try: a file deleted or made
+                    # unreadable between the driver's listing and this task
+                    # is a report row, not a job failure
+                    blob = open(os.path.join(src_dir, name), "rb").read()
                     n, eps = probe_ref(blob)  # header epsilon = 2*max_error
                     max_error = eps / 2.0
                     vals = decompress_ref(blob)

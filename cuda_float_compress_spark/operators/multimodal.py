@@ -198,6 +198,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) != ln:
             raise ValueError("truncated PNG chunk")
         if typ == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"bad IHDR length {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"PLTE":
             if len(body) % 3:
@@ -406,7 +408,9 @@ def image_thumbnails(
                     continue
                 try:
                     img = decode_image(bytes(b))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
+                    # malformed header bytes skip the row — one corrupt
+                    # payload must not kill the Spark task
                     continue
                 th = resize_image(img, thumb, thumb)
                 m = th.reshape(-1, 3).mean(axis=0)
@@ -479,7 +483,7 @@ def extract_media_features(
                     entropy = 0.0
                 try:
                     img = decode_image(b, fake=fake_decode) if len(b) else None
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     img = None  # magic-like prefix on non-image bytes
                 rows.append(
                     (

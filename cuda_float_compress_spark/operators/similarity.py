@@ -55,6 +55,12 @@ def cosine_topk(
     )
 
 
+# Upper bound on embedding dimensionality: real text embeddings top out
+# around 4096; anything past this is a malformed row, and an unbounded dim
+# would size the sign matrix and the batch zero-pad allocation (OOM risk).
+MAX_SUPPORTED_DIM = 8192
+
+
 def plane_sign(i: int, p: int) -> int:
     """Deterministic ±1 for (dimension i, plane p): +1 iff the first hex char
     of md5(f"{i}_{p}") is < '8'. Portable: a SQL oracle recomputes it with its
@@ -112,6 +118,13 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = 8) -> Column:
             (0 if a is None else len(a) for a in vecs), dtype=np.int64, count=n
         )
         mx = int(lens.max()) if n else 0
+        if mx > MAX_SUPPORTED_DIM:
+            # a malformed huge row would otherwise build an unbounded sign
+            # matrix + zero-pad allocation (executor OOM) — fail loudly
+            raise ValueError(
+                f"vector dim {mx} exceeds MAX_SUPPORTED_DIM="
+                f"{MAX_SUPPORTED_DIM}; raise it only for real embeddings"
+            )
         S = _sign_matrix(n_planes, max(mx, 1))  # sized on demand, lru-cached
         M = np.zeros((n, max(mx, 1)), dtype=np.float64)
         for i, a in enumerate(vecs):  # ragged fill; zero-pad is a no-op term

@@ -225,6 +225,39 @@ def test_bucket_cap_recall_monotone_and_observable(spark):
     assert drops[32] > drops[64] > drops[128] > 0
 
 
+def test_word_shingle_hash_wide_window_and_twin(spark):
+    """shingle_k=9 (rotation 8*8=64 -> mod-60 reduced) works, and the JVM
+    rot-xor window hash equals a Python twin built from hash60_py."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "x"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    for k in (5, 9):
+        got = {
+            r["doc_id"]: r["__shingle_hashes"]
+            for r in dedup.with_shingle_hashes(
+                df, "text", shingle_k=k, shingle_mode="word"
+            ).collect()
+        }
+
+        def rot(x, r):
+            r %= 60
+            return ((x << r) | (x >> (60 - r))) & ((1 << 60) - 1)
+
+        for did, text in [(1, "a b c d e f g h i j k l"), (2, "x"), (3, "  ")]:
+            toks = text.strip().split() or [""]
+            wh = [dedup.hash60_py(t) for t in toks]
+            n_windows = max(len(wh) - (k - 1), 1)
+            want = []
+            for i in range(n_windows):
+                h = 0
+                for j in range(k):
+                    v = wh[i + j] if i + j < len(wh) else 0
+                    h ^= rot(v, 8 * j)
+                want.append(h)
+            assert got[did] == want, (k, did)
+
+
 def test_embedding_neardup_cap(spark):
     """Identical vectors land in one bucket; the cap bounds the self-join."""
     from pyspark.sql import Observation
@@ -485,8 +518,19 @@ def test_image_thumbnails_over_png(spark):
         [("p1", bytearray(png)), ("junk", b"not-an-image")],
         "url string, payload binary",
     )
+    import struct as _st
+    import zlib as _zl
+
+    bad_ihdr = (  # PNG magic + IHDR declaring 10 bytes (spec wants 13)
+        b"\x89PNG\r\n\x1a\n"
+        + _st.pack(">I", 10) + b"IHDR" + b"\x00" * 10
+        + _st.pack(">I", _zl.crc32(b"IHDR" + b"\x00" * 10))
+    )
+    df = df.union(
+        spark.createDataFrame([("bad", bytearray(bad_ihdr))], df.schema)
+    )
     rows = {r["url"]: r for r in multimodal.image_thumbnails(df).collect()}
-    assert set(rows) == {"p1"}
+    assert set(rows) == {"p1"}  # malformed-IHDR row skipped, task alive
     t = rows["p1"]
     assert (t["width"], t["height"]) == (12, 24)
     exp = multimodal.resize_image(img, 8, 8).reshape(-1, 3).mean(axis=0)
