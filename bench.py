@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "asof_event_snapshot",
     "range_join_events",
     "bpe_token_counts",
+    "clean_corpus",
+    "stratified_sample",
 ]
 
 
