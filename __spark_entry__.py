@@ -492,16 +492,14 @@ def _clean_corpus(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     keep = exact_dedup(docs, "doc_id").select(F.col("keep_id").alias("doc_id"))
-    q = with_lang_id(docs)
     cols = quality_score_cols(F.col("text"))
-    q = q.withColumn("punct_ratio", cols["punct_ratio"]).withColumn(
+    q = docs.withColumn("punct_ratio", cols["punct_ratio"]).withColumn(
         "nc", cols["n_chars"]
     )
-    good = q.filter(
-        (F.col("lang_pred") == "en")
-        & (F.col("punct_ratio") <= 0.2)
-        & (F.col("nc") >= 100)
-    )
+    # cheap ratio/length predicates FIRST, then the 6-regex language ID only
+    # on survivors — at 100 TB the ordering is most of the query's cost
+    cheap = q.filter((F.col("punct_ratio") <= 0.2) & (F.col("nc") >= 100))
+    good = with_lang_id(cheap).filter(F.col("lang_pred") == "en")
     return good.join(keep, "doc_id", "left_semi").select("doc_id", "punct_ratio")
 
 
@@ -535,6 +533,17 @@ def _bigram_topk(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
+    )
+
+
+def _repetition_scores(spark, sf_dir):
+    """Within-document repetition (duplicate-line / duplicate-word
+    fractions) — the Gopher-style boilerplate signal."""
+    from cuda_float_compress_spark.operators.text import with_repetition_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_repetition_scores(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_word_frac"
     )
 
 
@@ -934,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "bigram_topk": _bigram_topk,
         "doc_freq_topk": _doc_freq_topk,
+        "repetition_scores": _repetition_scores,
         "pivot_linestatus": _pivot_linestatus,
         "set_ops_langs": _set_ops_langs,
         "distinct_counts": _distinct_counts,
@@ -1561,6 +1571,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "repetition_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   s -> length(trim(s)) > 0) AS lines,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   s -> length(s) > 0) AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   round((len(lines) - len(list_distinct(lines)))::DOUBLE
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round((len(words) - len(list_distinct(words)))::DOUBLE
+                         / greatest(len(words), 1), 6) AS dup_word_frac
+            FROM t
         """,
         "doc_freq_topk": """
             WITH tk AS (

@@ -132,6 +132,42 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id_col(F.col(text_col)))
 
 
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style): the fraction of
+    duplicate lines and duplicate whitespace words. High values mark
+    boilerplate/navigation spam a training pipeline drops. All JVM array
+    ops; a SQL oracle reproduces the identical counts."""
+    lines = F.filter(
+        F.split(text, r"\n"), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_lines = F.size(lines)
+    words = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda s: F.length(s) > 0
+    )
+    n_words = F.size(words)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(n_lines, F.lit(1)),
+        6,
+    )
+    dup_word_frac = F.round(
+        (n_words - F.size(F.array_distinct(words))).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": dup_line_frac,
+        "dup_word_frac": dup_word_frac,
+    }
+
+
+def with_repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    for name, c in repetition_cols(F.col(text_col)).items():
+        df = df.withColumn(name, c)
+    return df
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized text.
     md5 (not xxhash64) so the DuckDB oracle computes the identical value."""

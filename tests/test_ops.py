@@ -50,6 +50,24 @@ def test_lang_id_runs_and_is_plausible(spark, docs):
     assert len(out) >= 1  # heuristic produces some labels
 
 
+def test_repetition_scores_pinned(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nnav\nnav\ncontent here"),     # 3 dup lines of 4
+            (2, "all unique lines\nsecond line"),   # none
+            (3, "spam spam spam ham"),              # words: 2 dups of 4
+            (4, "   "),                             # blank -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.with_repetition_scores(df).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["dup_line_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.5
+    assert got[4]["n_lines"] == 0
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["dup_word_frac"] == 0.0
+
+
 def test_fingerprint_identical_for_identical_text(spark):
     df = spark.createDataFrame(
         [(1, "same  text"), (2, "same text"), (3, "other")], ["id", "text"]
