@@ -48,50 +48,43 @@ def hash60_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
-def _capped_members(
-    grouped: DataFrame, cap: int, observation=None
+def _window_capped_pairs(
+    exploded: DataFrame, bucket_cols: list, cap: int, observation=None
 ) -> DataFrame:
-    """sorted-id bucket members truncated at ``cap`` (lowest ids win —
-    deterministic, SQL-reproducible). ``observation`` (pyspark Observation)
-    records how many members every cap dropped across the job."""
-    out = grouped.withColumn("members", F.slice(F.sort_array("all_members"), 1, cap))
+    """Distinct (id_a < id_b) pairs from (id, *bucket_cols) rows, with every
+    bucket capped at ``cap`` members (lowest ids win — deterministic,
+    SQL-reproducible as ``list_slice(list_sort(list(id)), 1, cap)``).
+
+    The cap is a ``row_number()`` window — a spillable sort that keeps at
+    most ``cap`` rows per bucket in flight — NOT ``collect_list`` + slice,
+    which would first materialize the UNCAPPED bucket in one aggregation
+    buffer (a boilerplate-heavy corpus whose near-dups are not exact dups
+    can put 10^7+ ids in one band bucket: executor OOM at 100 TB scale).
+    Pairs come from a bounded within-bucket self-join (<= cap^2 rows per
+    bucket). ``observation`` (pyspark Observation) records the drops:
+    dropped_members = sum(rn > cap), truncated_buckets = sum(rn == cap+1),
+    buckets = sum(rn == 1) — identical values to the old aggregate counters.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*bucket_cols).orderBy("id")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
     if observation is not None:
-        out = out.observe(
+        ranked = ranked.observe(
             observation,
-            F.sum(F.greatest(F.size("all_members") - cap, F.lit(0))).alias(
-                "dropped_members"
-            ),
-            F.sum((F.size("all_members") > cap).cast("long")).alias(
+            F.sum((F.col("rn") > cap).cast("long")).alias("dropped_members"),
+            F.sum((F.col("rn") == cap + 1).cast("long")).alias(
                 "truncated_buckets"
             ),
-            F.count(F.lit(1)).alias("buckets"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("buckets"),
         )
-    return out.drop("all_members")
-
-
-def _member_pairs(bucketed: DataFrame) -> DataFrame:
-    """Distinct (id_a < id_b) pairs from a ``members: array`` column."""
+    kept = ranked.filter(F.col("rn") <= cap).drop("rn")
+    a = kept.select(*bucket_cols, F.col("id").alias("id_a"))
+    b = kept.select(*bucket_cols, F.col("id").alias("id_b"))
     return (
-        bucketed.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("members"),
-                            lambda a: F.transform(
-                                F.col("members"),
-                                lambda b: F.struct(
-                                    a.alias("id_a"), b.alias("id_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -266,11 +259,7 @@ def minhash_lsh_candidates(
     exploded = banded.select("id", F.explode(stack).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
-    grouped = exploded.groupBy("band", "key").agg(
-        F.collect_list("id").alias("all_members")
-    )
-    bucketed = _capped_members(grouped, bucket_cap, observation)
-    return _member_pairs(bucketed)
+    return _window_capped_pairs(exploded, ["band", "key"], bucket_cap, observation)
 
 
 def minhash_lsh_pairs(
@@ -431,11 +420,7 @@ def simhash_near_dups(
     exploded = s.select("id", F.explode(chunk).alias("bb")).select(
         "id", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key")
     )
-    grouped = exploded.groupBy("blk", "key").agg(
-        F.collect_list("id").alias("all_members")
-    )
-    bucketed = _capped_members(grouped, bucket_cap, observation)
-    pairs = _member_pairs(bucketed)
+    pairs = _window_capped_pairs(exploded, ["blk", "key"], bucket_cap, observation)
     a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -204,6 +204,42 @@ def test_lsh_bucket_caps_bound_skew(spark):
     assert obs2.get["dropped_members"] == 4 * (n - 64)  # 4 bands
 
 
+def test_lsh_mega_bucket_no_collect_list(spark):
+    """A 10^5-member single near-dup bucket (templated pages that exact-dedup
+    can NOT pre-collapse) must flow through the cap WITHOUT collect_list: the
+    old collect_list+slice plan materialized the uncapped bucket in one
+    aggregation buffer (executor OOM at 100 TB); the row_number window is a
+    spillable sort bounded at the cap."""
+    from pyspark.sql import Observation
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("cookie banner accept all cookies on this page now").alias("text"),
+    )
+    obs = Observation("mega_minhash")
+    cands = dedup.minhash_lsh_candidates(
+        df, "doc_id", bucket_cap=32, observation=obs, shingle_mode="word"
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "CollectList" not in plan, plan
+    assert "row_number" in plan or "RunningWindowFunction" in plan or "Window" in plan
+    assert cands.count() == 32 * 31 // 2  # bounded by cap, not corpus
+    drops = obs.get
+    assert drops["dropped_members"] == 4 * (n - 32)  # 4 bands, each one bucket
+    assert drops["truncated_buckets"] == 4
+    assert drops["buckets"] == 4
+
+    obs2 = Observation("mega_simhash")
+    spairs = dedup.simhash_near_dups(
+        df, "doc_id", max_hamming=60, bucket_cap=16, observation=obs2
+    )
+    plan2 = spairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan2 and "CollectList" not in plan2, plan2
+    assert spairs.count() <= 4 * 16 * 15 // 2
+    assert obs2.get["dropped_members"] > 0
+
+
 def test_bucket_cap_recall_monotone_and_observable(spark):
     """The bucket cap is the engine's recall knob on skewed corpora: pair
     recall is MONOTONE in the cap, the exact drop counts are observable, and
