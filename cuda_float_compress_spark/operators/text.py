@@ -53,19 +53,32 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_bpe_tokens", bpe_token_count_col(F.col(text_col)))
 
 
+def _chars_col(text: Column) -> Column:
+    """The text as an array of 1-codepoint strings, built in ONE pass.
+
+    This exists because ``text.substr(i, 1)`` inside a higher-order-function
+    lambda is O(i): UTF8String codepoint indexing scans from the string
+    start, so folding substr over ``sequence(1, n)`` is O(n^2) — invisible
+    on short fixture docs, catastrophic on real 100 KB–1 MB web pages.
+    ``split(text, '')`` materializes the codepoints once (Java regex splits
+    between codepoints, surrogate pairs kept whole); the filter drops the
+    zero-width trailing match Spark's limit=-1 split keeps."""
+    return F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
+
+
 def rolling_hash_col(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash (Rabin-Karp) over codepoints:
     h = fold(h*base + codepoint) mod p. All JVM expressions; a SQL oracle
     folds the identical recurrence (DuckDB list_reduce), so the value is
     engine-portable — unlike md5, it also supports incremental/windowed
-    updates, the property rolling-hash fingerprints exist for."""
+    updates, the property rolling-hash fingerprints exist for.
+
+    O(n): one split pass + one linear fold over the char array (the char
+    array is the aggregate's input expression, evaluated once per row)."""
     folded = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length(text)),
-            lambda i: F.ascii(text.substr(i, F.lit(1))),
-        ),
+        _chars_col(text),
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * base + c) % mod,
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
     return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(folded)
 
@@ -179,11 +192,22 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles_col(text: Column, k: int = 5) -> Column:
-    """Character k-shingles as an array<string> (JVM-side sequence+transform)."""
+    """Character k-shingles as an array<string>.
+
+    O(k*n), not O(n^2): window i is the concat of k aligned slices of the
+    one-pass char array (see _chars_col) zipped elementwise — the same
+    shifted-slices trick the word-shingle rot-xor hash uses. Each slice and
+    each zip_with argument is a top-level expression evaluated ONCE per row;
+    the per-window ``substr(i, k)`` it replaces rescanned the string from
+    position 0 for every window."""
     n = F.length(text)
-    return F.when(n < k, F.array(text)).otherwise(
-        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: text.substr(i, F.lit(k)))
-    )
+    chars = _chars_col(text)
+    n_windows = n - k + 1
+    arrs = [F.slice(chars, j + 1, n_windows) for j in range(k)]
+    sh = arrs[0]
+    for a in arrs[1:]:
+        sh = F.zip_with(sh, a, lambda x, y: F.concat(x, y))
+    return F.when(n < k, F.array(text)).otherwise(sh)
 
 
 def word_shingles_col(text: Column, w: int = 5) -> Column:

@@ -84,6 +84,44 @@ def test_shingles(spark):
     assert out == ["abc", "bcd", "cde", "def"]
 
 
+def test_shingles_unicode_and_edges(spark):
+    """The shifted-slices char shingles equal substring windows on unicode
+    (surrogate pairs whole) and the n<k / n==k edges."""
+    samples = ["héllo wörld и в", "x\U0001f600y z\U0001f600w", "ab", "abc", ""]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    rows = df.select(
+        "text", text.shingles_col(F.col("text"), 3).alias("sh")
+    ).collect()
+    for r in rows:
+        s = r["text"]
+        want = [s[i : i + 3] for i in range(len(s) - 2)] if len(s) >= 3 else [s]
+        assert r["sh"] == want, repr(s)
+
+
+def test_rolling_hash_and_shingles_linear_in_doc_length(spark):
+    """Rolling hash + char shingles over a 1 MB web-page-sized doc must be
+    ~10x a 100 KB doc, not ~100x: the old per-codepoint substr fold rescanned
+    the string from position 0 at every offset (O(n^2) — minutes per MB-sized
+    document at 100 TB corpus scale). Bound is generous (host noise)."""
+    import time
+
+    def run(n_chars):
+        doc = ("lorem ipsum dolor sit amet " * (n_chars // 27 + 1))[:n_chars]
+        df = spark.createDataFrame([(doc,)], ["text"])
+        df.select(text.rolling_hash_col(F.col("text"))).collect()  # warm
+        t0 = time.time()
+        df.select(
+            text.rolling_hash_col(F.col("text")).alias("rh"),
+            F.size(text.shingles_col(F.col("text"), 5)).alias("ns"),
+        ).collect()
+        return time.time() - t0
+
+    run(10_000)  # JIT/codegen warm-up
+    t100k, t1m = run(100_000), run(1_000_000)
+    # measured ~3x on this host; quadratic would be ~100x
+    assert t1m / max(t100k, 1e-3) < 35, (t100k, t1m)
+
+
 # --- dedup ---------------------------------------------------------------------
 
 
