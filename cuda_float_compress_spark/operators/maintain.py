@@ -178,7 +178,16 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     shutil.rmtree(tmp, ignore_errors=True)
     kept.write.mode("overwrite").parquet(tmp)
     os.rename(blocks_dir, old)
-    os.rename(tmp, blocks_dir)
+    try:
+        os.rename(tmp, blocks_dir)
+    except OSError:
+        # A concurrent reader's repair_vacuum (decode path) can complete the
+        # swap between our two renames — it sees old+tmp(_SUCCESS), renames
+        # tmp into place and deletes old/tmp, making our rename ENOENT. The
+        # table state is exactly what we wanted; only a genuinely missing
+        # blocks dir is a real failure.
+        if not os.path.isdir(blocks_dir):
+            raise
     shutil.rmtree(old, ignore_errors=True)
     return {
         "rows_before": rows_before,

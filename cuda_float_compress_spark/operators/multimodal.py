@@ -157,6 +157,9 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# hard cap on the inflated scanline buffer (256 MB ~ a 9000x9000 RGBA image);
+# anything claiming more is hostile or out of scope for this decoder
+_MAX_PNG_RAW_BYTES = 1 << 28
 
 
 def _paeth_scalar(a: int, b: int, c: int) -> int:
@@ -223,12 +226,28 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
+    stride = w * nch
+    expected = h * (stride + 1)
+    # Bound the decompression BY the IHDR-derived size BEFORE inflating:
+    # zlib expands up to ~1000x, so a small malicious/corrupt PNG could
+    # otherwise allocate gigabytes here and OOM the executor — memory
+    # exhaustion is not catchable by the row-skip try/except in
+    # image_thumbnails/media features. decompressobj(max_length) caps the
+    # output buffer; one extra probe byte detects oversized streams.
+    if expected > _MAX_PNG_RAW_BYTES:
+        raise ValueError(
+            f"PNG dimensions {w}x{h}x{nch} exceed the decoder cap "
+            f"({expected} > {_MAX_PNG_RAW_BYTES} raw bytes)"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        extra = dec.decompress(dec.unconsumed_tail, 1) if not dec.eof else b""
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream: {e}") from None
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if extra:
+        raise ValueError("IDAT stream larger than IHDR dimensions")
+    if len(raw) != expected:
         raise ValueError("IDAT length does not match dimensions")
     rr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = rr[:, 0]

@@ -127,15 +127,24 @@ def run_streaming_dedup(
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
     query_name: str = "stream_dedup",
+    normalize_ws: bool = False,
 ) -> DataFrame:
     """Cross-micro-batch EXACT dedup for continuous ingest: per-fingerprint
     state (applyInPandasWithState) admits only the first-seen document of
-    each whitespace-normalized-md5 group; later micro-batches containing the
-    same text emit nothing. Within a micro-batch the min id wins
-    (deterministic); across micro-batches the earliest epoch wins — the
-    streaming analog of exact_dedup's keep-list, with the state store
-    playing the role of the seen-set at 100 TB (state is one fingerprint ->
-    one id, nothing document-sized).
+    each md5 group; later micro-batches containing the same text emit
+    nothing. Within a micro-batch the min id wins (deterministic); across
+    micro-batches the earliest epoch wins — the streaming analog of
+    exact_dedup's keep-list, with the state store playing the role of the
+    seen-set at 100 TB (state is one fingerprint -> one id, nothing
+    document-sized).
+
+    The default fingerprint is raw ``md5(text)`` — the SAME key batch
+    ``exact_dedup`` (and the exact_dedup/clean_corpus oracles) group on, so
+    streaming and batch keep-lists agree on every document.
+    ``normalize_ws=True`` switches to whitespace-normalized md5 (collapses
+    runs of whitespace before hashing) — a deliberately LOOSER key that
+    merges documents differing only in whitespace, and therefore a
+    deliberate divergence from the batch keep-list.
 
     Returns the keeper list (fingerprint, id)."""
     import pandas as pd
@@ -145,9 +154,12 @@ def run_streaming_dedup(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    fp = F.md5(
-        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    ).alias("fingerprint")
+    if normalize_ws:
+        fp = F.md5(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        ).alias("fingerprint")
+    else:
+        fp = F.md5(F.col(text_col)).alias("fingerprint")
     keyed = stream.select(fp, F.col(id_col).alias("id"))
 
     def keep_first(key, pdfs, state):

@@ -411,6 +411,51 @@ def test_vacuum_crash_window_repair(spark, tmp_path, scratch):
     assert all(r["ok"] for r in rep)
 
 
+def test_vacuum_survives_reader_repair_race(spark, tmp_path, scratch, monkeypatch):
+    """A concurrent reader's repair_vacuum can complete the swap BETWEEN a
+    live vacuum's two renames (it sees old+tmp(_SUCCESS) and can't tell a
+    crashed swap from a live one); the vacuum's own second rename then hits
+    ENOENT. That healthy vacuum must report success, not raise."""
+    import os
+
+    from cuda_float_compress_spark.operators import maintain
+
+    src = str(tmp_path / "race_src")
+    generate_webpages_df(spark, 400, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False,
+                        target_rows_per_split=200)
+    blocks_dir = f"{scratch}/blocks"
+    blocks = spark.read.parquet(blocks_dir)
+    n_committed = blocks.count()
+    blocks.withColumn("run_id", F.lit("crashed")).write.mode("append").parquet(
+        blocks_dir
+    )
+
+    real_rename = os.rename
+    state = {"in_repair": False, "raced": False}
+
+    def racing_rename(a, b):
+        # the reader wins the race exactly at vacuum's second rename
+        if (not state["in_repair"] and a == f"{scratch}/blocks_vacuum_tmp"
+                and b == blocks_dir):
+            state["in_repair"] = True
+            try:
+                assert maintain.repair_vacuum(scratch) == "completed_swap"
+                state["raced"] = True
+            finally:
+                state["in_repair"] = False
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    stats = maintain.vacuum(spark, scratch)
+    assert state["raced"], "race was not exercised"
+    assert stats["rows_after"] == n_committed
+    assert spark.read.parquet(blocks_dir).count() == n_committed
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decode_table(spark, scratch), "url").collect()
+    assert all(r["ok"] for r in rep)
+
+
 def test_decode_parts_subset(spark, tmp_path, scratch):
     src = str(tmp_path / "ps_src")
     generate_webpages_df(spark, 1000, partitions=4).write.parquet(src)

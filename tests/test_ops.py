@@ -598,6 +598,52 @@ def test_png_rejects_corrupt():
         multimodal.decode_png(bytes(bad))
 
 
+def test_png_zlib_bomb_bounded():
+    """A PNG whose IDAT inflates far beyond its IHDR dimensions must fail
+    with ValueError BEFORE allocating the inflated stream (zlib expands up
+    to ~1000x: an unbounded decompress would OOM the executor, which the
+    row-skip try/except in image_thumbnails cannot catch), and hostile IHDR
+    dimensions must be rejected before any decompression."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    def _chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + _zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    # IHDR claims 2x2 RGB (raw = 2*(6+1) = 14 bytes) but IDAT inflates to 64 MB
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = _zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="larger than IHDR"):
+        multimodal.decode_png(png)
+
+    # IHDR claiming absurd dimensions is rejected before inflating anything
+    huge = _struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", huge)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="exceed the decoder cap"):
+        multimodal.decode_png(png2)
+
+    # a legitimate image still round-trips through the bounded decompress
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(multimodal.decode_png(multimodal.encode_png(img)), img)
+
+
 def test_image_thumbnails_over_png(spark):
     """The thumbnail pipeline decodes real PNG payloads: dims and channel
     means pinned against the source array."""
@@ -828,28 +874,45 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
         pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
             src / f"part{i}.parquet"
         )
+    docs = spark.read.parquet(str(src))
+    from cuda_float_compress_spark.operators.dedup import exact_dedup
+
+    # default = raw md5(text): the streaming keep-list agrees with batch
+    # exact_dedup on EVERY document — including docs 0/1, which differ only
+    # in whitespace and must stay distinct (the batch/oracle contract)
     out = run_streaming_dedup(
         spark, str(src), max_files_per_trigger=1,
         query_name="sdtest",
     ).collect()
     keep = {r["fingerprint"]: r["doc_id"] for r in out}
-    docs = spark.read.parquet(str(src))
     batch = {
         r["text_md5"]: r["keep_id"]
-        for r in __import__(
-            "cuda_float_compress_spark.operators.dedup", fromlist=["exact_dedup"]
-        ).exact_dedup(
-            docs.withColumn(
-                "text", F.regexp_replace(F.trim("text"), r"\s+", " ")
-            ),
-            "doc_id",
-        ).collect()
+        for r in exact_dedup(docs, "doc_id").collect()
     }
     assert set(keep) == set(batch)  # same fingerprint universe
     # every keeper belongs to its group; first-epoch-wins means the batch
     # min-id and streaming keeper agree whenever the min id is in the
     # earliest epoch containing the group (true for this fixture)
     assert keep == batch, (keep, batch)
+
+    # normalize_ws=True is the documented LOOSER key: whitespace-differing
+    # dups merge, matching batch exact_dedup over ws-normalized text
+    out_ws = run_streaming_dedup(
+        spark, str(src), max_files_per_trigger=1,
+        query_name="sdtest_ws", normalize_ws=True,
+    ).collect()
+    keep_ws = {r["fingerprint"]: r["doc_id"] for r in out_ws}
+    batch_ws = {
+        r["text_md5"]: r["keep_id"]
+        for r in exact_dedup(
+            docs.withColumn(
+                "text", F.regexp_replace(F.trim("text"), r"\s+", " ")
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert keep_ws == batch_ws, (keep_ws, batch_ws)
+    assert len(keep_ws) < len(keep)  # docs 0/1 merged under the loose key
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
     differ — streaming closes at >=, batch at > — none exists in the fixture)."""
