@@ -2,13 +2,14 @@
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 REAL decoders (pure numpy, no external libs): uncompressed 24-bit BMP,
-binary PPM (P6), and PCM-16 WAV — the standard uncompressed interchange
-formats. Compressed formats (PNG/JPEG/OGG/WebM) would need codec libraries
-not present in this container; for those ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-decoder stands in so the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — stays real and tested. The byte-level feature
-extractor (histogram/entropy) is real for every format.
+binary PPM (P6), PCM-16 WAV, 8-bit PNG (zlib + all five scanline filters),
+and baseline JPEG (huffman + IDCT + chroma upsample — operators/jpeg.py).
+Remaining compressed formats (WebP/OGG/WebM, progressive JPEG) would need
+codec libraries not present in this container; for those ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder stands in so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — stays real and tested. The
+byte-level feature extractor (histogram/entropy) is real for every format.
 """
 
 from __future__ import annotations
@@ -357,19 +358,24 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array. REAL for BMP 24-bit,
-    PPM P6, and PNG (8-bit, pure numpy+zlib — see decode_png); JPEG/WebP
-    need codec libraries not present in this container — pass fake=True for
-    the deterministic stand-in (plumbing tests)."""
+    PPM P6, PNG (8-bit, pure numpy+zlib — see decode_png), and baseline
+    JPEG (pure numpy huffman+IDCT — see operators/jpeg.py); WebP and
+    progressive JPEG need codec libraries not present in this container —
+    pass fake=True for the deterministic stand-in (plumbing tests)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from cuda_float_compress_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "JPEG/WebP decoding requires an imaging library not present in "
-            "this container; use BMP/PPM/PNG payloads or fake=True"
+            "WebP decoding requires an imaging library not present in "
+            "this container; use BMP/PPM/PNG/JPEG payloads or fake=True"
         )
     # deterministic fake: dimensions + pixels derived from the byte content
     h = 4 + (len(payload) % 13)
@@ -414,8 +420,8 @@ def image_thumbnails(
     df: DataFrame, url_col: str = "url", bin_col: str = "payload",
     thumb: int = 8,
 ) -> DataFrame:
-    """mapInPandas image pipeline: REAL decode (BMP/PPM/PNG) ->
-    nearest-neighbor resize -> per-channel means. Non-image payloads are
+    """mapInPandas image pipeline: REAL decode (BMP/PPM/PNG/baseline JPEG)
+    -> nearest-neighbor resize -> per-channel means. Non-image payloads are
     skipped (a training pipeline routes by sniffed type first)."""
 
     def work(batches):
@@ -423,7 +429,8 @@ def image_thumbnails(
             rows = []
             for u, b in zip(pdf[url_col], pdf[bin_col]):
                 b = b if b is not None else b""
-                if b[:2] not in (b"BM", b"P6") and b[:8] != _PNG_MAGIC:
+                if (b[:2] not in (b"BM", b"P6") and b[:8] != _PNG_MAGIC
+                        and bytes(b[:3]) != b"\xff\xd8\xff"):
                     continue
                 try:
                     img = decode_image(bytes(b))

@@ -126,3 +126,41 @@ def test_png_roundtrip_generated(h, w, nch, seed, filters):
     else:
         want = np.repeat(img[:, :, :1], 3, axis=2)
     assert np.array_equal(out, want), (h, w, nch, row_filters)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=0, max_value=3),    # restart interval (0 = none)
+    st.integers(min_value=60, max_value=100),
+)
+def test_jpeg_roundtrip_generated(h, w, seed, subsample, rst, quality):
+    """decode_jpeg(encode_jpeg(img)) yields exact dims and error bounded by
+    the quantization model for random smooth images, across subsampling,
+    restart intervals, qualities, and non-multiple-of-8 dims."""
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    # smooth image: random low-frequency gradient + mild noise (JPEG's
+    # design domain; pure noise has unbounded chroma-subsample error)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (yy * int(rng.integers(0, 6)) + xx * int(rng.integers(0, 6))) % 256
+            for _ in range(3)
+        ],
+        axis=2,
+    ).astype(np.float64)
+    img = np.clip(
+        base + rng.normal(0, 4, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+    enc = J.encode_jpeg(
+        img, quality=quality, subsample=subsample, restart_interval=rst
+    )
+    out = J.decode_jpeg(enc)
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (25.0 if quality < 80 else 15.0), (h, w, subsample, quality, err)

@@ -553,6 +553,106 @@ def test_png_roundtrip_all_filters_and_color_types():
     )
 
 
+def test_jpeg_roundtrip_modes():
+    """Baseline JPEG (pure numpy huffman+IDCT) round-trips within the
+    codec's own quantization error: constant blocks near-exact, smooth
+    gradients tight, 4:2:0 + restart markers and grayscale supported,
+    odd (non-multiple-of-8) dims crop exactly."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    img = np.full((16, 24, 3), [200, 64, 30], dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    yy, xx = np.mgrid[0:37, 0:29]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(grad, quality=95))
+    assert out.shape == grad.shape
+    assert np.abs(out.astype(int) - grad.astype(int)).mean() < 3.0
+
+    smooth = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, np.full_like(yy, 128)], axis=2
+    ).astype(np.uint8)
+    enc = J.encode_jpeg(smooth, quality=90, subsample="420", restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 present
+    out = J.decode_jpeg(enc)
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 5.0
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+    outg = J.decode_jpeg(J.encode_jpeg(gray, quality=90))
+    assert outg.shape == (21, 17, 3)
+    assert np.array_equal(outg[:, :, 0], outg[:, :, 1])
+
+    # adversarial noise at quality 100 stays within the coarse bound and
+    # exercises the magnitude clamp
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    outn = J.decode_jpeg(J.encode_jpeg(noise, quality=100))
+    assert np.abs(outn.astype(int) - noise.astype(int)).mean() < 12.0
+
+    # decode_image dispatches on the JPEG magic
+    assert multimodal.decode_image(J.encode_jpeg(img)).shape == img.shape
+
+
+def test_jpeg_rejects_corrupt_and_out_of_profile():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    good = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(b"junk bytes")
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(good[:30])  # truncated mid-segment
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(good[:-20])  # truncated entropy stream
+    # progressive (SOF2) is an honest out-of-profile rejection
+    sof2 = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    prog = (b"\xff\xd8\xff\xc2" + _struct.pack(">H", 2 + len(sof2)) + sof2)
+    with _pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(prog)
+    # hostile SOF dimensions rejected before any allocation
+    huge = _struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    hostile = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 2 + len(huge)) + huge)
+    with _pytest.raises(ValueError, match="out of range"):
+        J.decode_jpeg(hostile)
+
+
+def test_image_thumbnails_over_jpeg(spark):
+    """The thumbnail pipeline decodes real baseline JPEG payloads; junk
+    with a JPEG magic is a row-skip, not a task failure."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:24, 0:12]
+    img = np.stack(
+        [(yy * 7) % 256, (xx * 11) % 256, np.full_like(yy, 77)], axis=2
+    ).astype(np.uint8)
+    enc = J.encode_jpeg(img, quality=92, subsample="420")
+    df = spark.createDataFrame(
+        [("j1", bytearray(enc)), ("junk", b"\xff\xd8\xff\xe0 not a jpeg")],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in multimodal.image_thumbnails(df).collect()}
+    assert set(rows) == {"j1"}
+    r = rows["j1"]
+    assert (r["width"], r["height"]) == (12, 24)
+    src_means = img.reshape(-1, 3).mean(axis=0)
+    assert abs(r["mean_r"] - src_means[0]) < 12
+    assert abs(r["mean_g"] - src_means[1]) < 12
+    assert abs(r["mean_b"] - src_means[2]) < 12
+
+
 def test_png_paeth_filter_pinned():
     """Paeth predictor matches the spec by hand: recon = filt + paeth(left,
     up, upleft) with the tie-break order left, up, up-left."""
