@@ -176,7 +176,7 @@ def run_decode(spark, src_path: str, n_parts: int, runs: int = 2) -> dict:
 
 def run_encode_direct(spark, src_path: str, runs: int = 1,
                       target_rows_per_split: int | None = None,
-                      warmup: bool = True) -> dict:
+                      warmup: bool = True, profile: str = "ratio") -> dict:
     from cuda_float_compress_spark.operators.direct import encode_table_direct
 
     if target_rows_per_split is None:
@@ -184,7 +184,8 @@ def run_encode_direct(spark, src_path: str, runs: int = 1,
     if warmup:
         out = f"{SHM}/bench_warm_{uuid.uuid4().hex[:8]}"
         encode_table_direct(spark, src_path, out, resume=False,
-                            target_rows_per_split=target_rows_per_split)
+                            target_rows_per_split=target_rows_per_split,
+                            profile=profile)
         shutil.rmtree(out, ignore_errors=True)  # warm-up, unmeasured
     times = []
     stats = None
@@ -193,7 +194,7 @@ def run_encode_direct(spark, src_path: str, runs: int = 1,
         t0 = time.perf_counter()
         stats = encode_table_direct(
             spark, src_path, out, resume=False,
-            target_rows_per_split=target_rows_per_split,
+            target_rows_per_split=target_rows_per_split, profile=profile,
         )
         times.append(time.perf_counter() - t0)
         stages = {k: round(v, 3) for k, v in stats["timings_sec"].items()}
@@ -284,6 +285,11 @@ def main() -> None:
     # (no-shuffle bulk encode, the 100 TB layout)
     encode_res = run_encode(spark, web_path, args.n_parts, runs=ENCODE_RUNS)
     encode_direct_res = run_encode_direct(spark, web_path, runs=ENCODE_RUNS)
+    # throughput-profile point on the ratio/GB-s frontier (lz4 bulk backend;
+    # JVM/Arrow already warm from the ratio run, so no extra warm-up pass)
+    encode_tp_res = run_encode_direct(
+        spark, web_path, runs=1, warmup=False, profile="throughput"
+    )
     decode_res = run_decode(spark, web_path, args.n_parts)
 
     # --- queries -------------------------------------------------------------
@@ -374,6 +380,7 @@ def main() -> None:
         "sf": sf,
         "encode": encode_res,
         "encode_direct": encode_direct_res,
+        "encode_direct_throughput": encode_tp_res,
         "decode": decode_res,
         "web_rows": BENCH_WEB_ROWS,
         "scaling": scaling,

@@ -59,6 +59,25 @@ def zstd_decompress(buf: bytes, decompressed_size: int) -> bytes:
     )
 
 
+def lz4_compress(buf: bytes) -> bytes:
+    """LZ4-frame backend for the throughput codec profile: the encode kernel
+    is 71% inside zstd-1 on web text (BASELINE.md round-3 profiling), so the
+    only way to a materially faster point on the ratio/GB-s frontier is a
+    cheaper entropy stage — zstd's level knob can't go below its own match
+    finder; lz4 can."""
+    if len(buf) == 0:
+        return b""
+    return pa.compress(buf, codec="lz4", asbytes=True)
+
+
+def lz4_decompress(buf: bytes, decompressed_size: int) -> bytes:
+    if decompressed_size == 0:
+        return b""
+    return pa.decompress(
+        buf, decompressed_size=decompressed_size, codec="lz4", asbytes=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Section container: N length-prefixed byte sections in one payload
 # ---------------------------------------------------------------------------
@@ -770,6 +789,28 @@ def bytes_zstd_decode(payload: bytes, params: dict, n: int) -> list:
     return _split_by_lengths(lengths, data)
 
 
+def bytes_lz4_encode(items: list) -> tuple[bytes, dict]:
+    """bytes_zstd's layout with the lz4 entropy backend (throughput profile:
+    ~3-5x faster entropy stage for ~15-25% worse ratio on web text)."""
+    lengths, data = _lengths_and_data(items)
+    len_payload, len_params = int_delta_encode(lengths)
+    payload = pack_sections(len_payload, lz4_compress(data))
+    return payload, {
+        "l_first": len_params["first"],
+        "l_width": len_params["width"],
+        "data_size": len(data),
+    }
+
+
+def bytes_lz4_decode(payload: bytes, params: dict, n: int) -> list:
+    len_buf, data_buf = unpack_sections(payload)
+    lengths = int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    data = lz4_decompress(data_buf, int(params["data_size"]))
+    return _split_by_lengths(lengths, data)
+
+
 def bytes_fsst_encode(items: list) -> tuple[bytes, dict]:
     lengths, data = _lengths_and_data(items)
     symbols = fsst_train(data)
@@ -893,6 +934,7 @@ def bytes_raw_decode(payload: bytes, params: dict, n: int) -> list:
 BYTES_CODECS = {
     "bytes_raw": (bytes_raw_encode, bytes_raw_decode),
     "bytes_zstd": (bytes_zstd_encode, bytes_zstd_decode),
+    "bytes_lz4": (bytes_lz4_encode, bytes_lz4_decode),
     "bytes_fsst": (bytes_fsst_encode, bytes_fsst_decode),
     "bytes_dict": (bytes_dict_encode, bytes_dict_decode),
     "bytes_rle": (bytes_rle_encode, bytes_rle_decode),
@@ -973,9 +1015,26 @@ def float_quantize_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     )
 
 
+def float_byteplane_lz4_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Byte-plane shuffle + lz4 (throughput profile twin of float_byteplane)."""
+    itemsize = v.dtype.itemsize
+    mat = np.frombuffer(v.tobytes(), dtype=np.uint8).reshape(-1, itemsize)
+    return lz4_compress(mat.T.copy().tobytes()), {
+        "itemsize": itemsize, "dtype": str(v.dtype),
+    }
+
+
+def float_byteplane_lz4_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    itemsize = int(params["itemsize"])
+    raw = lz4_decompress(payload, n * itemsize)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, n)
+    return np.frombuffer(mat.T.copy().tobytes(), dtype=np.dtype(params["dtype"])).copy()
+
+
 FLOAT_CODECS = {
     "float_raw": (float_raw_encode, float_raw_decode),
     "float_byteplane": (float_byteplane_encode, float_byteplane_decode),
+    "float_byteplane_lz4": (float_byteplane_lz4_encode, float_byteplane_lz4_decode),
 }
 
 

@@ -8,6 +8,17 @@ encodes on a sample (or the full chunk when small) pick the min-size codec.
 
 Selection never affects correctness — every codec round-trips exactly — only
 size/speed, so sampling is safe.
+
+Profiles pick a point on the ratio/throughput frontier (round-3 profiling:
+the encode kernel is 71% inside zstd-1 on web text, so ratio-vs-speed is an
+entropy-backend choice, not a Python one):
+
+* ``ratio`` (default) — the reference's conclusion: zstd-1 backend, FSST
+  trialed on high-cardinality text; best compressed size.
+* ``throughput`` — lz4 entropy backend for the bulk data sections, FSST
+  dropped (its trainer + encode pass costs more than the whole lz4 stage);
+  dictionary/RLE still trialed (they SHRINK the work). A real 100 TB
+  operator chooses this when ingest speed, not storage, is the bound.
 """
 
 from __future__ import annotations
@@ -82,12 +93,15 @@ def select_and_encode_int(
     return codec, payload, params
 
 
-def select_bytes_codec(items: list, candidates: list[str] | None = None) -> str:
+def select_bytes_codec(
+    items: list, candidates: list[str] | None = None, profile: str = "ratio"
+) -> str:
     n = len(items)
     if n == 0:
         return "bytes_raw"
     if candidates is None:
-        cands = ["bytes_zstd"]
+        base = "bytes_zstd" if profile == "ratio" else "bytes_lz4"
+        cands = [base]
         # low-cardinality detection on a value sample
         step = max(1, n // _SAMPLE_VALUES)
         sample_items = items[::step]
@@ -95,8 +109,10 @@ def select_bytes_codec(items: list, candidates: list[str] | None = None) -> str:
         if card <= max(1, len(sample_items) // 2):
             cands.append("bytes_dict")
             cands.append("bytes_rle")
-        else:
-            # fsst trial only on high-cardinality string data, on a byte sample
+        elif profile == "ratio":
+            # fsst trial only on high-cardinality string data, on a byte
+            # sample; dropped in throughput mode (trainer + encode pass cost
+            # more than the entire lz4 stage)
             cands.append("bytes_fsst")
     else:
         cands = list(candidates)
@@ -121,17 +137,22 @@ def select_bytes_codec(items: list, candidates: list[str] | None = None) -> str:
 
 
 def select_and_encode_bytes(
-    items: list, candidates: list[str] | None = None
+    items: list, candidates: list[str] | None = None, profile: str = "ratio"
 ) -> tuple[str, bytes, dict]:
-    codec = select_bytes_codec(items, candidates)
+    codec = select_bytes_codec(items, candidates, profile)
     payload, params = core.BYTES_CODECS[codec][0](items)
     return codec, payload, params
 
 
 def select_and_encode_float(
-    v: np.ndarray, candidates: list[str] | None = None
+    v: np.ndarray, candidates: list[str] | None = None, profile: str = "ratio"
 ) -> tuple[str, bytes, dict]:
-    cands = list(candidates) if candidates else ["float_byteplane", "float_raw"]
+    if candidates:
+        cands = list(candidates)
+    elif profile == "throughput":
+        cands = ["float_byteplane_lz4"]
+    else:
+        cands = ["float_byteplane", "float_raw"]
     n = len(v)
     trial = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]
     best, best_size = cands[0], None

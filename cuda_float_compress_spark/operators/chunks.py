@@ -187,9 +187,13 @@ def raw_size_of(arr: pa.Array, ptype: str) -> int:
 
 
 def encode_column_chunk(
-    arr: pa.Array, ptype: str, codec_override: str | None = None
+    arr: pa.Array, ptype: str, codec_override: str | None = None,
+    profile: str = "ratio",
 ) -> tuple[str, bytes, str, int, int]:
-    """-> (codec, payload, params_json, n, n_nulls)"""
+    """-> (codec, payload, params_json, n, n_nulls).
+    ``profile``: 'ratio' (default, zstd/FSST frontier) or 'throughput' (lz4
+    bulk backend — see codecs/select.py). Selection only; decode reads the
+    codec name from the manifest, so mixed-profile tables decode fine."""
     n = len(arr)
     n_nulls = arr.null_count
 
@@ -198,7 +202,7 @@ def encode_column_chunk(
         if codec_override:
             codec = codec_override
         else:
-            codec = _select_bytes_ld(lengths, data)
+            codec = _select_bytes_ld(lengths, data, profile)
         payload, params = _LD_ENCODERS[codec](lengths, data)
         return codec, payload, json.dumps(params), n, n_nulls
 
@@ -224,7 +228,9 @@ def encode_column_chunk(
             codec = codec_override
             payload, params = core.FLOAT_CODECS[codec][0](vals)
         else:
-            codec, payload, params = select.select_and_encode_float(vals)
+            codec, payload, params = select.select_and_encode_float(
+                vals, profile=profile
+            )
         return codec, _wrap_nulls(payload, valid), json.dumps(params), n, n_nulls
 
     if ptype == "list_float32":
@@ -293,6 +299,23 @@ def _ld_zstd_decode(payload, params, n):
         len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
     )
     return lengths, core.zstd_decompress(data_buf, int(params["data_size"]))
+
+
+def _ld_lz4_encode(lengths, data):
+    len_payload, len_params = core.int_delta_encode(lengths)
+    payload = core.pack_sections(len_payload, core.lz4_compress(data))
+    return payload, {
+        "l_first": len_params["first"], "l_width": len_params["width"],
+        "data_size": len(data),
+    }
+
+
+def _ld_lz4_decode(payload, params, n):
+    len_buf, data_buf = core.unpack_sections(payload)
+    lengths = core.int_delta_decode(
+        len_buf, {"first": params["l_first"], "width": params["l_width"]}, n
+    )
+    return lengths, core.lz4_decompress(data_buf, int(params["data_size"]))
 
 
 def _ld_fsst_encode(lengths, data):
@@ -431,6 +454,7 @@ def _ld_rle_decode(payload, params, n):
 
 _LD_ENCODERS = {
     "bytes_zstd": _ld_zstd_encode,
+    "bytes_lz4": _ld_lz4_encode,
     "bytes_fsst": _ld_fsst_encode,
     "bytes_raw": _ld_raw_encode,
     "bytes_dict": _ld_dict_encode,
@@ -438,6 +462,7 @@ _LD_ENCODERS = {
 }
 _LD_DECODERS = {
     "bytes_zstd": _ld_zstd_decode,
+    "bytes_lz4": _ld_lz4_decode,
     "bytes_fsst": _ld_fsst_decode,
     "bytes_raw": _ld_raw_decode,
     "bytes_dict": _ld_dict_decode,
@@ -445,12 +470,16 @@ _LD_DECODERS = {
 }
 
 
-def _select_bytes_ld(lengths: np.ndarray, data: bytes) -> str:
+def _select_bytes_ld(
+    lengths: np.ndarray, data: bytes, profile: str = "ratio"
+) -> str:
     """Min-size codec selection from a value sample, without materializing
-    the full chunk as Python objects."""
+    the full chunk as Python objects. ``profile='throughput'`` swaps the
+    zstd bulk codec for lz4 and drops the FSST trial (see codecs/select.py)."""
+    base = "bytes_zstd" if profile == "ratio" else "bytes_lz4"
     n = len(lengths)
     if n == 0 or len(data) == 0:
-        return "bytes_zstd"
+        return base
     step = max(1, n // 256)
     sizes = np.where(lengths >= 0, lengths, 0)
     ends = np.cumsum(sizes)
@@ -461,12 +490,13 @@ def _select_bytes_ld(lengths: np.ndarray, data: bytes) -> str:
     ]
     non_null = [s for s in sample if s is not None]
     card = len(set(non_null))
-    cands = ["bytes_zstd"]
+    cands = [base]
     if non_null and card <= max(1, len(non_null) // 2):
         cands += ["bytes_dict", "bytes_rle"]
     # FSST trial only when values are short-ish strings (its sweet spot);
     # long documents go straight to zstd which dominates there.
-    elif non_null and (len(data) / max(1, len(non_null))) < 128:
+    elif (profile == "ratio" and non_null
+          and (len(data) / max(1, len(non_null))) < 128):
         cands.append("bytes_fsst")
     if len(cands) == 1:
         return cands[0]

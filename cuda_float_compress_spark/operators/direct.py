@@ -208,6 +208,7 @@ def encode_table_direct(
     run_id: str | None = None,
     metrics: EngineMetrics | None = None,
     target_rows_per_split: int = 131_072,
+    profile: str = "ratio",
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = metrics or EngineMetrics(spark)
@@ -241,14 +242,14 @@ def encode_table_direct(
                         if buf_rows >= chunk_rows or buf_bytes >= chunk_bytes:
                             yield _encode_chunk_to_rows(
                                 pa.Table.from_batches(buf), part_id, chunk_id,
-                                overrides, acc, run_id,
+                                overrides, acc, run_id, profile,
                             )
                             chunk_id += 1
                             buf, buf_rows, buf_bytes = [], 0, 0
                     if buf:
                         yield _encode_chunk_to_rows(
                             pa.Table.from_batches(buf), part_id, chunk_id,
-                            overrides, acc, run_id,
+                            overrides, acc, run_id, profile,
                         )
 
         splits_df = spark.createDataFrame(todo, SPLITS_SCHEMA).repartition(

@@ -83,7 +83,8 @@ _BLOCKS_ARROW = pa.schema(
 
 
 def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
-                          overrides: dict, acc, run_id: str = "") -> pa.RecordBatch:
+                          overrides: dict, acc, run_id: str = "",
+                          profile: str = "ratio") -> pa.RecordBatch:
     cols = {name: [] for name in _BLOCKS_ARROW.names}
     data_cols = [c for c in tbl.column_names if c != "part_id"]
     for idx, name in enumerate(data_cols):
@@ -91,7 +92,7 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         ptype = C.ptype_of(arr.type)
         raw = C.raw_size_of(arr, ptype)
         codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
-            arr, ptype, overrides.get(name)
+            arr, ptype, overrides.get(name), profile
         )
         vmin = vmax = None
         if ptype in ("int64", "int32", "timestamp_us", "timestamp_ntz", "date32"):
@@ -128,7 +129,7 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
 
 
 def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
-                 run_id: str = ""):
+                 run_id: str = "", profile: str = "ratio"):
     """Build the mapInArrow function. Parts arrive contiguous (sorted); cut a
     chunk when the buffer reaches chunk_rows rows or chunk_bytes bytes."""
 
@@ -145,7 +146,7 @@ def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
                 return None
             tbl = pa.Table.from_batches(buf)
             rb = _encode_chunk_to_rows(
-                tbl, cur_part, chunk_counter, overrides, acc, run_id
+                tbl, cur_part, chunk_counter, overrides, acc, run_id, profile
             )
             chunk_counter += 1
             buf, buf_rows, buf_bytes = [], 0, 0
@@ -253,11 +254,17 @@ def encode_table(
     run_id: str | None = None,
     metrics: EngineMetrics | None = None,
     part_offset: int = 0,
+    profile: str = "ratio",
 ) -> dict:
     """Encode ``df`` into ``out_dir``/{blocks,manifest,lineage}. Returns a
     metrics dict. Resumable: parts already marked done in lineage are skipped
     (left-anti semantics via a broadcast-sized NOT IN — the part list is
     metadata, not data).
+
+    ``profile``: 'ratio' (default) or 'throughput' — see codecs/select.py;
+    decode reads codec names from the manifest, so either profile's output
+    (or a mix, e.g. after resume under a different profile) decodes
+    bit-identically.
 
     ``part_offset`` shifts this run's part ids (streaming ingest gives each
     epoch a disjoint part range so block keys stay globally unique).
@@ -303,7 +310,9 @@ def encode_table(
     sort_cols = ["part_id"] + (sort_keys or [url_col])
     planned = planned.sortWithinPartitions(*sort_cols)
 
-    encoder = make_encoder(chunk_rows, chunk_bytes, overrides, metrics.acc, run_id)
+    encoder = make_encoder(
+        chunk_rows, chunk_bytes, overrides, metrics.acc, run_id, profile
+    )
     blocks = planned.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
 
     with metrics.stage("encode_write"):

@@ -225,6 +225,43 @@ def test_selector_roundtrip_everything():
         np.testing.assert_array_equal(out, v, err_msg=fixture)
 
 
+def test_throughput_profile_selection_and_roundtrip():
+    """profile='throughput' swaps the bulk entropy stage to lz4: high-card
+    text picks bytes_lz4 (FSST dropped), low-card still lands on the
+    min-size of its candidate set, floats use the lz4 byteplane — and every
+    choice round-trips bit-identically."""
+    items = BYTES_FIXTURES["prose"]
+    codec, payload, params = select.select_and_encode_bytes(
+        items, profile="throughput"
+    )
+    assert codec == "bytes_lz4"
+    assert core.decode_bytes_chunk(payload, codec, params, len(items)) == items
+
+    low = [b"en"] * 900 + [b"de"] * 100
+    codec2, payload2, _ = select.select_and_encode_bytes(
+        low, profile="throughput"
+    )
+    sizes = {
+        name: len(core.encode_bytes_chunk(low, name)[0])
+        for name in ("bytes_lz4", "bytes_dict", "bytes_rle")
+    }
+    assert len(payload2) == min(sizes.values())
+
+    v = np.random.default_rng(1).normal(0, 1, 4096).astype(np.float32)
+    codec3, payload3, params3 = select.select_and_encode_float(
+        v, profile="throughput"
+    )
+    assert codec3 == "float_byteplane_lz4"
+    out3 = core.decode_float_chunk(payload3, codec3, params3, len(v))
+    np.testing.assert_array_equal(out3.view(np.uint8), v.view(np.uint8))
+
+    # throughput trades ratio for speed on text — measurably, not wildly
+    z = len(core.encode_bytes_chunk(items, "bytes_zstd")[0])
+    l4 = len(core.encode_bytes_chunk(items, "bytes_lz4")[0])
+    assert l4 < sum(len(x) for x in items)  # still compresses
+    assert l4 >= z  # and zstd stays the ratio winner on prose
+
+
 # --- error paths (reference: bad magic / size mismatch, cuszplus_f32.cu:582-636)
 
 

@@ -411,6 +411,29 @@ def test_vacuum_crash_window_repair(spark, tmp_path, scratch):
     assert all(r["ok"] for r in rep)
 
 
+def test_throughput_profile_roundtrip_bit_identical(spark, tmp_path, scratch):
+    """profile='throughput' (lz4 bulk backend) encodes through the full
+    direct path, records lz4 codecs in the manifest, and decodes every
+    column bit-identical — the frontier trade is size, never correctness."""
+    src = str(tmp_path / "tp_src")
+    generate_webpages_df(spark, 600, partitions=2).write.parquet(src)
+    stats = encode_table_direct(
+        spark, src, scratch, resume=False, target_rows_per_split=300,
+        profile="throughput",
+    )
+    assert stats["rows"] == 600
+    codecs = {
+        c
+        for r in spark.read.parquet(f"{scratch}/manifest").select("codecs").collect()
+        for c in r["codecs"]
+    }
+    assert "bytes_lz4" in codecs, codecs
+    assert "bytes_zstd" not in codecs and "bytes_fsst" not in codecs, codecs
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(original, decode_table(spark, scratch), "url").collect()
+    assert all(r["ok"] for r in rep), rep
+
+
 def test_vacuum_survives_reader_repair_race(spark, tmp_path, scratch, monkeypatch):
     """A concurrent reader's repair_vacuum can complete the swap BETWEEN a
     live vacuum's two renames (it sees old+tmp(_SUCCESS) and can't tell a
