@@ -47,6 +47,37 @@ def test_encode_pipeline_single_exchange(spark):
     assert "Sort [part_id" in plan and "false, 0" in plan
 
 
+def test_clean_corpus_cheap_predicates_first(spark):
+    """The corpus-assembly endpoint's one Filter node must evaluate the
+    cheap punct/length predicates BEFORE the 6-regex language-ID cascade
+    (And evaluates left-to-right; at 100 TB the ordering is most of the
+    query's cost), and the dedup keep-list must join as a broadcast
+    semi-join, not a shuffle."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["clean_corpus"](spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    filt = plan[plan.index("Filter") :]
+    i_cheap = max(filt.index("<= 0.2"), filt.index(">= 100"))
+    i_lang = filt.index("regexp_extract_all")
+    assert i_cheap < i_lang, filt[:400]
+
+
+def test_stratified_sample_is_scan_fused_filter(spark):
+    """Hash-based stratified sampling must compile to a single codegen'd
+    scan+filter: zero exchanges, schema pruned to the two output columns —
+    the shape that costs one pass at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["stratified_sample"](spark, SF)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert "*(1)" in plan  # whole-stage codegen over scan+filter
+
+
 def test_decode_prunes_payload_for_metadata_agg(spark, scratch):
     from cuda_float_compress_spark.operators.encode import encode_table
 
