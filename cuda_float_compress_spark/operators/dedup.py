@@ -218,21 +218,20 @@ def minhash_signature(
     return with_base.withColumn("minhash", F.array(*comps)).drop("__shingle_hashes")
 
 
-def minhash_lsh_candidates(
+def minhash_banded_keys(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
-    bucket_cap: int = 64,
-    observation=None,
     shingle_mode: str = "char",
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs via banding: equal band-key -> candidate.
-    Band key = md5 of the comma-joined band slice (portable to SQL). The only
-    shuffle is groupBy(band, key) over (id, key) rows — tiny vs the corpus —
-    and buckets are capped at ``bucket_cap`` members (drops observable)."""
+    """(id, band, key) rows: one row per document per band, key = md5 of the
+    comma-joined band slice of the minhash signature (portable to SQL).
+    Pure Column expressions, so it works on BATCH and STREAMING DataFrames
+    alike — the shared front half of batch LSH candidates and the
+    cross-epoch streaming near-dup state job."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, text_col, n_hashes, shingle_k, shingle_mode).select(
         F.col(id_col).alias("id"), "minhash"
@@ -256,8 +255,28 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    exploded = banded.select("id", F.explode(stack).alias("bb")).select(
+    return banded.select("id", F.explode(stack).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    bucket_cap: int = 64,
+    observation=None,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs via banding: equal band-key -> candidate.
+    Band key = md5 of the comma-joined band slice (portable to SQL). The only
+    shuffle is groupBy(band, key) over (id, key) rows — tiny vs the corpus —
+    and buckets are capped at ``bucket_cap`` members (drops observable)."""
+    exploded = minhash_banded_keys(
+        df, id_col, text_col, n_hashes, bands, shingle_k, shingle_mode
     )
     return _window_capped_pairs(exploded, ["band", "key"], bucket_cap, observation)
 

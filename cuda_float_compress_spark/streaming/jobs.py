@@ -200,6 +200,104 @@ def run_streaming_dedup(
     ).dropDuplicates(["fingerprint"])
 
 
+def run_streaming_minhash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    shingle_mode: str = "word",
+    max_files_per_trigger: int | None = None,
+    query_name: str = "stream_minhash",
+) -> DataFrame:
+    """Cross-epoch NEAR-dup (MinHash-LSH) dedup for continuous ingest — the
+    banded-signature analog of :func:`run_streaming_dedup`.
+
+    Signatures and band keys reuse the batch operators verbatim
+    (``minhash_banded_keys`` is pure Column expressions, legal on a
+    streaming DataFrame). Per (band, key) bucket, applyInPandasWithState
+    keeps ONE keeper id — the first-seen (min id within its micro-batch) —
+    so state is O(distinct buckets), never O(documents) and never text
+    bytes. Every arriving doc emits (band, key, id, keeper); a doc is a
+    near-dup CANDIDATE of its bucket keeper when keeper != id. The returned
+    keep-list marks a doc kept iff it was first in ALL of its ``bands``
+    buckets — the streaming twin of the batch
+    minhash_lsh_candidates -> dedup_keep_list composition for bucket-shaped
+    duplicate groups (batch verifies candidates with exact Jaccard; a
+    streaming pass cannot, because state must not hold documents — callers
+    needing verification join survivors back to a store).
+
+    Returns (doc_id, kept, dup_of): ``dup_of`` = smallest keeper among
+    buckets where this doc was not first (NULL when kept)."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.operators.dedup import minhash_banded_keys
+
+    batch_df = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    exploded = minhash_banded_keys(
+        stream, id_col, text_col, n_hashes, bands, shingle_k, shingle_mode
+    )
+
+    def admit(key, pdfs, state):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+        if not ids:
+            return
+        if state.exists:
+            keeper = int(state.get[0])
+        else:
+            keeper = min(ids)
+            state.update((keeper,))
+        yield pd.DataFrame(
+            {
+                "band": [int(key[0])] * len(ids),
+                "key": [key[1]] * len(ids),
+                "id": ids,
+                "keeper": [keeper] * len(ids),
+            }
+        )
+
+    out = exploded.groupBy("band", "key").applyInPandasWithState(
+        admit,
+        outputStructType="band int, key string, id long, keeper long",
+        stateStructType="keeper long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT band, key, id, keeper FROM {query_name}")
+    return (
+        rows.groupBy("id")
+        .agg(
+            F.max((F.col("keeper") != F.col("id")).cast("int")).alias("dup"),
+            F.min(
+                F.when(F.col("keeper") != F.col("id"), F.col("keeper"))
+            ).alias("dup_of"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("dup") == 0).alias("kept"),
+            "dup_of",
+        )
+    )
+
+
 def encode_stream(
     spark: SparkSession,
     source_dir: str,

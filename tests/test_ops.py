@@ -1013,6 +1013,76 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
     }
     assert keep_ws == batch_ws, (keep_ws, batch_ws)
     assert len(keep_ws) < len(keep)  # docs 0/1 merged under the loose key
+
+
+def test_streaming_minhash_dedup_across_epochs(spark, tmp_path):
+    """Cross-epoch NEAR-dup state: banded minhash signatures streamed over
+    three micro-batch files agree with the batch
+    minhash_lsh_candidates -> keep-list composition; state is one keeper id
+    per (band, key) bucket, never documents."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.streaming import run_streaming_minhash_dedup
+
+    src = tmp_path / "smh_src"
+    src.mkdir()
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = "completely different content about spark compression engines at scale now"
+    epochs = [
+        # epoch 0: group A (exact + one-word-changed near-dup), a singleton
+        [(0, base_a), (1, base_a.replace("lazy", "sleepy")),
+         (2, "unique words nothing shared here at all zero overlap whatsoever")],
+        # epoch 1: A again (must dedup against epoch-0 state), group B begins
+        [(3, base_a), (4, base_b)],
+        # epoch 2: B near-dup + another singleton
+        [(5, base_b.replace("engines", "systems")),
+         (6, "another totally distinct document with its own private vocabulary")],
+    ]
+    for i, chunk in enumerate(epochs):
+        pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
+            src / f"part{i}.parquet"
+        )
+    out = run_streaming_minhash_dedup(
+        spark, str(src), max_files_per_trigger=1, query_name="smhtest"
+    ).collect()
+    got = {r["doc_id"]: (r["kept"], r["dup_of"]) for r in out}
+    assert set(got) == set(range(7))
+
+    docs = spark.read.parquet(str(src))
+    cands = dedup.minhash_lsh_candidates(
+        docs, "doc_id", shingle_mode="word"
+    ).collect()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    batch_keep = {
+        r["doc_id"]
+        for r in dedup.dedup_keep_list(
+            docs, dedup.minhash_lsh_candidates(docs, "doc_id", shingle_mode="word"),
+            "doc_id",
+        ).collect()
+    }
+    # ids increase with arrival, so first-seen == min id: the streaming keep
+    # set equals the batch keep-list for these bucket-shaped groups
+    stream_keep = {d for d, (kept, _) in got.items() if kept}
+    assert stream_keep == batch_keep, (stream_keep, batch_keep)
+    # every streaming dup points at a batch-candidate partner
+    for d, (kept, dup_of) in got.items():
+        if not kept:
+            assert (min(dup_of, d), max(dup_of, d)) in cand_pairs, (d, dup_of)
+    # exact dups MUST be caught across epochs (doc 3 == doc 0)
+    assert got[3] == (False, 0)
+    # state is O(buckets): one keeper per distinct (band, key) — the batch
+    # banding yields the identical bucket set
+    from cuda_float_compress_spark.operators.dedup import minhash_banded_keys
+
+    n_buckets = (
+        minhash_banded_keys(docs, "doc_id", shingle_mode="word")
+        .select("band", "key").distinct().count()
+    )
+    stream_buckets = spark.sql(
+        "SELECT COUNT(DISTINCT band, key) AS n FROM smhtest"
+    ).collect()[0]["n"]
+    assert stream_buckets == n_buckets
+    assert n_buckets <= 4 * 7  # bands * docs upper bound
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
     differ — streaming closes at >=, batch at > — none exists in the fixture)."""
