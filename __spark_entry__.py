@@ -632,6 +632,39 @@ def _pushdown_decode_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _pushdown_decode_agg_str(spark, sf_dir):
+    """String-predicate pushdown through the ENCODED table: encode documents
+    SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
+    vmin/vmax), decode (lang, n_chars) with a lang equality predicate that
+    prunes chunks before any payload read, aggregate; the oracle recomputes
+    from the raw table."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["lang"])
+        dec = decode_table_direct(
+            spark, out, columns=["lang", "n_chars"],
+            predicates=[("lang", "==", "en")],
+        )
+        res = (
+            dec.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_features(spark, sf_dir):
     """Media plumbing over a deterministic binary column: real format magics
     (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
@@ -966,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "pushdown_decode_agg": _pushdown_decode_agg,
+        "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
         "q17_small_orders": _q17_small_orders,
@@ -1715,6 +1749,10 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_decode_agg": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE n_chars >= 300 GROUP BY lang
+        """,
+        "pushdown_decode_agg_str": """
+            SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE lang = 'en'
         """,
         "media_features": """
             SELECT 'doc://d/' || doc_id AS url,

@@ -173,6 +173,18 @@ def _unwrap_nulls(payload: bytes, n: int, n_nulls: int) -> tuple[bytes, np.ndarr
 # ---------------------------------------------------------------------------
 
 
+def string_prefix64(v) -> int | None:
+    """Order-preserving 7-byte big-endian prefix of a string/bytes value, as
+    a non-negative int64 — the zone-map domain for string columns. Monotone
+    w.r.t. bytewise (UTF8String) order: s1 <= s2 implies prefix(s1) <=
+    prefix(s2), so numeric [vmin, vmax] checks are conservatively sound for
+    string predicates (chunks sharing a >7-byte prefix just don't prune)."""
+    if v is None:
+        return None
+    b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    return int.from_bytes(b[:7].ljust(7, b"\x00"), "big")
+
+
 def raw_size_of(arr: pa.Array, ptype: str) -> int:
     """Logical uncompressed size (value bytes, nulls free) for ratio metrics."""
     if ptype in ("string", "binary"):

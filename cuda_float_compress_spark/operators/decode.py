@@ -134,9 +134,14 @@ _TS_PTYPES = ("timestamp_us", "timestamp_ntz")
 def _predicate_value(v, ptype: str) -> int:
     """Normalize a predicate literal to the engine's int64 domain for the
     column's ptype: DAYS for date32 (zone-map vmin/vmax of date columns are
-    stored in days), MICROSECONDS for timestamps."""
+    stored in days), MICROSECONDS for timestamps, order-preserving 7-byte
+    prefixes for string/binary (see chunks.string_prefix64)."""
     import datetime as _dt
 
+    if ptype in ("string", "binary"):
+        from cuda_float_compress_spark.operators.chunks import string_prefix64
+
+        return string_prefix64(v)
     if ptype == "date32":
         if isinstance(v, _dt.datetime):
             v = v.date()

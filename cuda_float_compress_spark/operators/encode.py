@@ -27,6 +27,7 @@ import time
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -103,6 +104,14 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                     np_vals = np_vals.view("i8")
                 vmin = int(np_vals.min())
                 vmax = int(np_vals.max())
+        elif ptype in ("string", "binary") and n > n_nulls:
+            # string zone maps: order-preserving 7-byte big-endian prefixes
+            # in the SAME int64 vmin/vmax columns (56 bits stays positive;
+            # zero-pad preserves bytewise UTF8String order, the order Spark
+            # compares strings with). min_max is one vectorized Arrow pass.
+            mm = pc.min_max(arr)
+            vmin = C.string_prefix64(mm["min"].as_py())
+            vmax = C.string_prefix64(mm["max"].as_py())
         cols["part_id"].append(part_id)
         cols["chunk_id"].append(chunk_id)
         cols["col"].append(name)

@@ -411,6 +411,37 @@ def test_vacuum_crash_window_repair(spark, tmp_path, scratch):
     assert all(r["ok"] for r in rep)
 
 
+def test_string_zone_map_pruning(spark, tmp_path, scratch):
+    """String columns carry 7-byte-prefix zone maps: a lang equality
+    predicate on a lang-sorted encoded table PRUNES chunks before any
+    payload read, and the decoded result matches the raw filter exactly."""
+    from cuda_float_compress_spark.operators.decode import qualifying_chunks
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    src = str(tmp_path / "szm_src")
+    generate_webpages_df(spark, 2000, partitions=2).write.parquet(src)
+    docs = spark.read.parquet(src)
+    encode_table(spark, docs, scratch, n_parts=4, resume=False,
+                 sort_keys=["lang"], chunk_rows=128)
+    blocks = spark.read.parquet(f"{scratch}/blocks")
+    total = blocks.select("part_id", "chunk_id").distinct().count()
+    kept = qualifying_chunks(blocks, [("lang", "==", "en")]).count()
+    assert kept < total, (kept, total)  # the zone map actually prunes
+
+    dec = decode_table(spark, scratch, columns=["url", "lang"],
+                       predicates=[("lang", "==", "en")])
+    want = docs.filter(F.col("lang") == "en").select("url", "lang")
+    assert dec.exceptAll(want).count() == 0
+    assert want.exceptAll(dec).count() == 0
+
+    # range predicates on strings prune and filter exactly too
+    dec2 = decode_table(spark, scratch, columns=["url", "lang"],
+                        predicates=[("lang", ">=", "pt")])
+    want2 = docs.filter(F.col("lang") >= "pt").select("url", "lang")
+    assert dec2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(dec2).count() == 0
+
+
 def test_throughput_profile_roundtrip_bit_identical(spark, tmp_path, scratch):
     """profile='throughput' (lz4 bulk backend) encodes through the full
     direct path, records lz4 codecs in the manifest, and decodes every
