@@ -665,6 +665,42 @@ def _pushdown_decode_agg_str(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _iceberg_read_agg(spark, sf_dir):
+    """Iceberg read path without the Iceberg runtime: materialize documents
+    as a real two-snapshot Iceberg v2 table (parquet data files + avro
+    manifests + metadata JSON via sources.iceberg), read the CURRENT
+    snapshot with the pure-Python metadata walker, aggregate; the oracle
+    recomputes from the raw table. Snapshot selection itself is covered by
+    tests/test_iceberg.py time-travel assertions."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.sources.iceberg import (
+        read_iceberg_dir,
+        write_iceberg_fixture,
+    )
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+            "doc_id"
+        )
+        cut = len(pdf) // 2
+        write_iceberg_fixture(out, [[pdf.iloc[:cut]], [pdf.iloc[cut:]]])
+        docs = read_iceberg_dir(spark, out)
+        res = (
+            docs.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_features(spark, sf_dir):
     """Media plumbing over a deterministic binary column: real format magics
     (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
@@ -1000,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "pushdown_decode_agg": _pushdown_decode_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
+        "iceberg_read_agg": _iceberg_read_agg,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
         "q17_small_orders": _q17_small_orders,
@@ -1753,6 +1790,10 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE lang = 'en'
+        """,
+        "iceberg_read_agg": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "media_features": """
             SELECT 'doc://d/' || doc_id AS url,

@@ -1,15 +1,24 @@
-"""Sources & sinks: parquet-first table registry + an Iceberg gateway stub.
+"""Sources & sinks: parquet-first table registry + Iceberg read support.
 
 The testdata corpus (TESTDATA.md) is parquet; production targets an
-Iceberg-style catalog — the Iceberg jars aren't in this container, so the
-catalog path is gated behind an import/config try (same engine code either
-way: Spark's DataSourceV2 makes `spark.read.table(...)` vs
-`spark.read.parquet(...)` interchangeable downstream).
+Iceberg-style catalog. Catalog-SERVICE reads still need the Iceberg jars
+(not in this container), but on-disk Iceberg tables read WITHOUT them via
+the pure-Python metadata walker in ``sources.iceberg`` (metadata JSON ->
+avro manifests -> parquet scan, with snapshot/time-travel selection) —
+``read_iceberg`` falls back to it automatically when given a path.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+from cuda_float_compress_spark.sources.iceberg import (  # noqa: F401
+    read_iceberg_dir,
+    snapshots as iceberg_snapshots,
+    write_iceberg_fixture,
+)
 
 TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
@@ -26,15 +35,26 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
-    """Iceberg catalog read; falls back with a clear error when the runtime
-    lacks the Iceberg Spark extensions (not bundled in this container)."""
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Read an Iceberg table. A filesystem path (or file:// URI) is read by
+    the pure-Python metadata walker (sources.iceberg — no jars needed,
+    snapshot/time-travel supported); a catalog name goes through
+    ``spark.read.table`` and needs the Iceberg runtime on the classpath."""
+    local = table[7:] if table.startswith("file://") else table
+    if os.path.isdir(local):
+        return read_iceberg_dir(spark, local, snapshot_id, as_of_ms)
     try:
         return spark.read.table(table)
     except Exception as e:  # pragma: no cover - container has no Iceberg jars
         raise NotImplementedError(
             "Iceberg catalog not configured in this runtime; add "
-            "iceberg-spark-runtime to spark.jars.packages and a catalog conf. "
+            "iceberg-spark-runtime to spark.jars.packages and a catalog conf "
+            "(filesystem table paths work without it). "
             f"Underlying error: {e}"
         ) from e
 
