@@ -172,6 +172,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal padding
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
