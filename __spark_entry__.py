@@ -665,6 +665,36 @@ def _pushdown_decode_agg_str(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+# deterministic HTML wrapper for the extraction oracle: script with a fake
+# tag + comparison inside, style, comment, entities — no single quotes (the
+# template is inlined into a SQL literal)
+_HTML_PRE = (
+    '<html><head><title>Page</title><style>body { color: red; }</style>'
+    '<script>var x = "<div>"; if (x < 1) { x = 2; }</script></head>'
+    '<body><!-- nav bar --><div class="main">'
+)
+_HTML_POST = (
+    '</div><p>Footer &amp; more &lt;tags&gt;&nbsp;&quot;q&quot;</p>'
+    "</body></html>"
+)
+
+
+def _html_extract_text(spark, sf_dir):
+    """The corpus EXTRACTION step (north-rule invariant: byte-identical
+    extracted text per url): wrap every document in a deterministic HTML
+    template (script/style/comment/entity boilerplate), run the JVM
+    regexp-chain extractor, return every extracted byte — the oracle
+    replays the identical wrap + extraction in SQL, so hash_match covers
+    the extractor's full behavior."""
+    from cuda_float_compress_spark.operators.text import html_to_text_col
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id", html_to_text_col(html).alias("extracted_text")
+    )
+
+
 def _iceberg_read_agg(spark, sf_dir):
     """Iceberg read path without the Iceberg runtime: materialize documents
     as a real two-snapshot Iceberg v2 table (parquet data files + avro
@@ -1037,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg": _pushdown_decode_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "iceberg_read_agg": _iceberg_read_agg,
+        "html_extract_text": _html_extract_text,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
         "q17_small_orders": _q17_small_orders,
@@ -1795,6 +1826,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang
         """,
+        # identical wrap + regexp-chain extraction as the Spark operator
+        # (operators/text.py html_to_text_col); replace order matters and
+        # matches (nbsp, amp, lt, gt, quot)
+        "html_extract_text": (
+            "SELECT doc_id, trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "'" + _HTML_PRE + "' || text || '" + _HTML_POST + "', "
+            r"'(?is)<script\b.*?</script>', ' ', 'g'), "
+            r"'(?is)<style\b.*?</style>', ' ', 'g'), "
+            r"'(?s)<!--.*?-->', ' ', 'g'), "
+            r"'(?s)<[^>]*>', ' ', 'g'), "
+            "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), "
+            "'&quot;', '\"'), '&#39;', ''''), "
+            r"'\s+', ' ', 'g')) AS extracted_text "
+            "FROM documents"
+        ),
         "media_features": """
             SELECT 'doc://d/' || doc_id AS url,
                    CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'

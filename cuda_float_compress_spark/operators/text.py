@@ -191,6 +191,29 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
 
 
+def html_to_text_col(html: Column) -> Column:
+    """Boilerplate HTML -> visible text: drop script/style/comment blocks,
+    strip tags, decode the common entities, collapse whitespace — the
+    extraction step of a Common-Crawl-style corpus pipeline (the per-row
+    north-rule invariant is byte-identical EXTRACTED text per url, so the
+    extractor must be deterministic). All JVM regexp_replace chains using
+    only constructs Java regex and RE2 (DuckDB) interpret identically
+    ((?s)/(?i) flags, no backrefs), so a SQL oracle reproduces every byte."""
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def with_extracted_text(df: DataFrame, html_col: str = "html",
+                        out: str = "extracted_text") -> DataFrame:
+    return df.withColumn(out, html_to_text_col(F.col(html_col)))
+
+
 def shingles_col(text: Column, k: int = 5) -> Column:
     """Character k-shingles as an array<string>.
 

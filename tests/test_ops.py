@@ -84,6 +84,33 @@ def test_shingles(spark):
     assert out == ["abc", "bcd", "cde", "def"]
 
 
+def test_html_to_text_extraction(spark):
+    """The extraction chain strips script/style/comment blocks (including
+    fake tags and comparisons inside script bodies), tags, entities, and
+    collapses whitespace — deterministically (the north-rule invariant is
+    byte-identical extracted text)."""
+    html = (
+        '<html><head><style>p { x: 1 }</style>'
+        '<script>if (a < b) { s = "</div>ok<div>"; }</script></head>'
+        "<body><!-- hidden\ncomment --><h1>Title</h1>\n"
+        "<p>A &amp; B &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f</p>"
+        "<div>и в не</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain, no markup"), (3, "")],
+                               ["doc_id", "html"])
+    got = {
+        r["doc_id"]: r["out"]
+        for r in df.select(
+            "doc_id", text.html_to_text_col(F.col("html")).alias("out")
+        ).collect()
+    }
+    # the fake "</div>" INSIDE the script string must not leak: the
+    # non-greedy block strip runs to the first real </script>
+    assert got[1] == 'Title A & B <c> "d" \'e\' f и в не', repr(got[1])
+    assert got[2] == "plain, no markup"
+    assert got[3] == ""
+
+
 def test_shingles_unicode_and_edges(spark):
     """The shifted-slices char shingles equal substring windows on unicode
     (surrogate pairs whole) and the n<k / n==k edges."""
