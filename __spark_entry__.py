@@ -695,6 +695,30 @@ def _html_extract_text(spark, sf_dir):
     )
 
 
+def _pii_redaction(spark, sf_dir):
+    """The pre-training PII scrub: inject deterministic email/phone/IP
+    strings into a rotating fifth of the corpus (documents are synthetic,
+    so real PII must be seeded to exercise the patterns), redact with the
+    shared Java/RE2-safe regexes, return every redacted byte + per-doc hit
+    counts — the oracle replays injection and redaction identically."""
+    from cuda_float_compress_spark.operators.text import with_pii_redaction
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    extra = (
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com")))
+        .when(did % 5 == 1, F.lit(" call +1 (415) 555-0123 now"))
+        .when(did % 5 == 2,
+              F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                       F.lit(".7 logged")))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.withColumn("text", F.concat(F.col("text"), extra))
+    return with_pii_redaction(seeded).select("doc_id", "redacted", "pii_hits")
+
+
 def _iceberg_read_agg(spark, sf_dir):
     """Iceberg read path without the Iceberg runtime: materialize documents
     as a real two-snapshot Iceberg v2 table (parquet data files + avro
@@ -1068,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "iceberg_read_agg": _iceberg_read_agg,
         "html_extract_text": _html_extract_text,
+        "pii_redaction": _pii_redaction,
         "media_features": _media_features,
         "q6_revenue_change": _q6_revenue_change,
         "q17_small_orders": _q17_small_orders,
@@ -1843,6 +1868,35 @@ def oracle_sql() -> dict[str, str]:
             r"'\s+', ' ', 'g')) AS extracted_text "
             "FROM documents"
         ),
+        # same seeded injection + the SAME Java/RE2-shared patterns in the
+        # same order (emails before phones) as operators/text.py
+        "pii_redaction": r"""
+            WITH seeded AS (
+                SELECT doc_id, text || CASE
+                    WHEN doc_id % 5 = 0
+                        THEN ' contact user' || doc_id || '@mail.example.com'
+                    WHEN doc_id % 5 = 1 THEN ' call +1 (415) 555-0123 now'
+                    WHEN doc_id % 5 = 2
+                        THEN ' from 10.0.' || (doc_id % 256) || '.7 logged'
+                    ELSE '' END AS text
+                FROM documents
+            ), red AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')
+                           AS redacted
+                FROM seeded
+            )
+            SELECT doc_id, redacted,
+                   (len(regexp_extract_all(redacted, '<EMAIL>'))
+                    + len(regexp_extract_all(redacted, '<IP>'))
+                    + len(regexp_extract_all(redacted, '<PHONE>')))::INT
+                       AS pii_hits
+            FROM red
+        """,
         "media_features": """
             SELECT 'doc://d/' || doc_id AS url,
                    CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'

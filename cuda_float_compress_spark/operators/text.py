@@ -214,6 +214,40 @@ def with_extracted_text(df: DataFrame, html_col: str = "html",
     return df.withColumn(out, html_to_text_col(F.col(html_col)))
 
 
+# PII patterns: only constructs Java regex and RE2 share (no backrefs, no
+# lookaround), so the SQL oracle replays the identical redaction
+_PII_PATTERNS = (
+    # email first: an address also contains digit runs an aggressive phone
+    # pattern could nibble at
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone: optional +CC, separators, 9-15 digits total
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholder tokens — the standard pre-training scrub (C4-style,
+    public). Order matters (emails before phones) and is mirrored by the
+    SQL oracle."""
+    t = text
+    for pat, rep in _PII_PATTERNS:
+        t = F.regexp_replace(t, pat, rep)
+    return t
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text",
+                       out: str = "redacted") -> DataFrame:
+    df = df.withColumn(out, redact_pii_col(F.col(text_col)))
+    return df.withColumn(
+        "pii_hits",
+        (F.regexp_count(F.col(out), F.lit("<EMAIL>"))
+         + F.regexp_count(F.col(out), F.lit("<IP>"))
+         + F.regexp_count(F.col(out), F.lit("<PHONE>"))).cast("int"),
+    )
+
+
 def shingles_col(text: Column, k: int = 5) -> Column:
     """Character k-shingles as an array<string>.
 

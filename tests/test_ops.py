@@ -111,6 +111,27 @@ def test_html_to_text_extraction(spark):
     assert got[3] == ""
 
 
+def test_pii_redaction(spark):
+    """Emails, IPv4s, and phone-shaped runs redact to typed tokens; order
+    (emails first) keeps addresses from being nibbled by the phone rule."""
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+        (2, "server 192.168.001.1 and call +44 (0) 1234 567890 today"),
+        (3, "nothing sensitive here"),
+        (4, "year 2024 only"),  # short digit run: NOT phone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["redacted"], r["pii_hits"])
+        for r in text.with_pii_redaction(df).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> thanks", 1)
+    assert got[2][0] == "server <IP> and call <PHONE> today"
+    assert got[2][1] == 2
+    assert got[3] == ("nothing sensitive here", 0)
+    assert got[4] == ("year 2024 only", 0)
+
+
 def test_shingles_unicode_and_edges(spark):
     """The shifted-slices char shingles equal substring windows on unicode
     (surrogate pairs whole) and the n<k / n==k edges."""
