@@ -1853,7 +1853,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical wrap + regexp-chain extraction as the Spark operator
         # (operators/text.py html_to_text_col); replace order matters and
-        # matches (nbsp, amp, lt, gt, quot)
+        # matches (nbsp, lt, gt, quot, #39, amp LAST — no double-unescape);
+        # explicit whitespace class (Java \s includes \x0B, RE2's does not)
         "html_extract_text": (
             "SELECT doc_id, trim(regexp_replace("
             "replace(replace(replace(replace(replace(replace("
@@ -1863,9 +1864,9 @@ def oracle_sql() -> dict[str, str]:
             r"'(?is)<style\b.*?</style>', ' ', 'g'), "
             r"'(?s)<!--.*?-->', ' ', 'g'), "
             r"'(?s)<[^>]*>', ' ', 'g'), "
-            "'&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), "
-            "'&quot;', '\"'), '&#39;', ''''), "
-            r"'\s+', ' ', 'g')) AS extracted_text "
+            "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+            "'&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), "
+            r"'[ \t" + "\\n\\r\\f]+', ' ', 'g')) AS extracted_text "
             "FROM documents"
         ),
         # same seeded injection + the SAME Java/RE2-shared patterns in the
@@ -1886,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                            '<EMAIL>', 'g'),
                            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')
+                           '\+?\d[\d \t\n\r\f().-]{7,}\d', '<PHONE>', 'g')
                            AS redacted
                 FROM seeded
             )

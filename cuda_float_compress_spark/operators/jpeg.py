@@ -75,10 +75,22 @@ def _dct_matrix() -> np.ndarray:
 _DCT_C = _dct_matrix()
 
 
+_DCT_C32 = None  # float32 basis, built lazily
+
+
 def _idct_blocks(coef: np.ndarray) -> np.ndarray:
     """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples
-    (level-shifted back, clipped) — one batched einsum for all blocks."""
-    f = np.einsum("ux,nuv,vy->nxy", _DCT_C, coef.astype(np.float64), _DCT_C)
+    (level-shifted back, clipped) — one batched float32 einsum for all
+    blocks (float32 keeps the decode working set at ~half of float64;
+    IDCT roundoff is ~1e-4, far below the 0.5 rounding threshold for any
+    in-range coefficient)."""
+    global _DCT_C32
+    if _DCT_C32 is None:
+        _DCT_C32 = _DCT_C.astype(np.float32)
+    f = np.einsum(
+        "ux,nuv,vy->nxy", _DCT_C32, coef.astype(np.float32, copy=False),
+        _DCT_C32,
+    )
     return np.clip(np.round(f) + 128, 0, 255).astype(np.uint8)
 
 
@@ -154,11 +166,34 @@ def _extend(v: int, size: int) -> int:
 # Decoder
 # ---------------------------------------------------------------------------
 
-_MAX_JPEG_PIXELS = 1 << 26  # 64 MP cap — hostile SOF dims rejected up front
+# Pixel cap bounds the decoder WORKING SET, not just the output: peak RSS
+# is ~40 bytes/pixel (int32 coefficient grid + dequant copy + float32 IDCT
+# planes + float32 RGB stack), so 8.4 MP caps intermediates near ~350 MB —
+# the same executor-OOM budget class as _MAX_PNG_RAW_BYTES. A tiny VALID
+# payload can declare huge dims (all-EOB entropy stream), so the cap must
+# hold before any allocation.
+_MAX_JPEG_PIXELS = 1 << 23
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> HxWx3 RGB uint8 (grayscale replicated)."""
+    """Baseline JFIF bytes -> HxWx3 RGB uint8 (grayscale replicated).
+
+    Contract: malformed or hostile payloads raise ValueError (or
+    NotImplementedError for out-of-profile coding processes) — NEVER other
+    exception types — so the mapInPandas row-skip handlers can catch them
+    (one corrupt web image must not kill a Spark task)."""
+    try:
+        return _decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (ZeroDivisionError, IndexError, OverflowError, KeyError,
+            struct.error) as e:
+        # belt-and-braces: any structural hole a crafted payload finds in
+        # the parser surfaces as the catchable contract type
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -174,6 +209,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("JPEG marker expected")
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1  # 0xFF fill bytes before a marker are legal padding
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
@@ -220,9 +257,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {ch}x{cv}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
             frame = {"h": h, "w": w, "comps": comps}
@@ -237,7 +277,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             sel = {}
             for i in range(ns):
                 cs, tda = body[1 + 2 * i], body[2 + 2 * i]
@@ -269,6 +313,8 @@ def _split_scan(payload: bytes, start: int) -> list[bytes]:
         if m == 0x00:  # stuffed FF
             cur.append(0xFF)
             pos += 2
+        elif m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -303,7 +349,9 @@ def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
         c["ac_tab"] = huff[(1, ac_tc)]
         c["bx"] = mcux * c["h"]
         c["by"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int64)
+        # int32: legal baseline coefficients are |q| <= 32767; hostile
+        # streams are clipped on store (below), never wrapped
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
 
     segs = _split_scan(payload, start)
     total_mcus = mcux * mcuy
@@ -321,8 +369,11 @@ def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = np.zeros(64, np.int64)
-                        # DC
+                        # DC (size from a hostile DHT can be any byte;
+                        # legal baseline categories are <= 16)
                         size = reader.decode(c["dc_tab"])
+                        if size > 16:
+                            raise ValueError("invalid JPEG DC size category")
                         diff = _extend(reader.receive(size), size)
                         preds[ci] += diff
                         blk[0] = preds[ci]
@@ -343,16 +394,21 @@ def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
                             k += 1
                         row = my * c["v"] + by
                         col = mx * c["h"] + bx
-                        c["coef"][row * c["bx"] + col] = blk
+                        c["coef"][row * c["bx"] + col] = np.clip(
+                            blk, -(1 << 30), 1 << 30
+                        )
             mcu += 1
         seg_idx += 1
 
     planes = []
     for c in comps:
-        dq = c["coef"] * qt[c["tq"]][None, :]  # elementwise in zigzag order
-        blocks = np.zeros((len(dq), 64), np.int64)
+        dq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]  # zigzag order
+        c["coef"] = None  # release before the next allocation
+        blocks = np.zeros((len(dq), 64), np.float32)
         blocks[:, ZIGZAG] = dq  # de-zigzag to row-major
+        del dq
         spatial = _idct_blocks(blocks.reshape(-1, 8, 8))
+        del blocks
         plane = (
             spatial.reshape(c["by"], c["bx"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -362,15 +418,17 @@ def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )[:h, :w]
-        planes.append(plane.astype(np.float64))
+        planes.append(plane.astype(np.float32))
 
     if ncomp == 1:
-        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
+        return np.repeat(
+            planes[0].astype(np.uint8)[:, :, None], 3, axis=2
+        )
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + np.float32(1.402) * (cr - np.float32(128))
+    g = (y - np.float32(0.344136) * (cb - np.float32(128))
+         - np.float32(0.714136) * (cr - np.float32(128)))
+    b = y + np.float32(1.772) * (cb - np.float32(128))
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 

@@ -203,10 +203,15 @@ def html_to_text_col(html: Column) -> Column:
     t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # &amp; decodes LAST: decoding it first would double-unescape
+    # entity-escaped entities ("&amp;lt;" must yield the literal "&lt;",
+    # not "<")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         t = F.regexp_replace(t, ent, rep)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not — the
+    # explicit class keeps the DuckDB oracle byte-identical on any input
+    return F.trim(F.regexp_replace(t, "[ \\t\\n\\r\\f]+", " "))
 
 
 def with_extracted_text(df: DataFrame, html_col: str = "html",
@@ -214,15 +219,17 @@ def with_extracted_text(df: DataFrame, html_col: str = "html",
     return df.withColumn(out, html_to_text_col(F.col(html_col)))
 
 
-# PII patterns: only constructs Java regex and RE2 share (no backrefs, no
-# lookaround), so the SQL oracle replays the identical redaction
+# PII patterns: only constructs Java regex and RE2 interpret IDENTICALLY
+# (no backrefs/lookaround, and an explicit whitespace class instead of \s —
+# Java's \s includes \x0B, RE2's does not), so the SQL oracle replays the
+# identical redaction on any input byte
 _PII_PATTERNS = (
     # email first: an address also contains digit runs an aggressive phone
     # pattern could nibble at
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     # international-ish phone: optional +CC, separators, 9-15 digits total
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("\\+?\\d[\\d \\t\\n\\r\\f().-]{7,}\\d", "<PHONE>"),
 )
 
 

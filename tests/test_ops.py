@@ -110,6 +110,16 @@ def test_html_to_text_extraction(spark):
     assert got[2] == "plain, no markup"
     assert got[3] == ""
 
+    # entity-escaped entities must NOT double-unescape: &amp; decodes LAST,
+    # so "&amp;lt;b&amp;gt;" yields the literal text "&lt;b&gt;", not "<b>"
+    df2 = spark.createDataFrame(
+        [(1, "<p>code sample: &amp;lt;b&amp;gt;</p>")], ["doc_id", "html"]
+    )
+    out2 = df2.select(
+        text.html_to_text_col(F.col("html")).alias("out")
+    ).collect()[0]["out"]
+    assert out2 == "code sample: &lt;b&gt;", repr(out2)
+
 
 def test_pii_redaction(spark):
     """Emails, IPv4s, and phone-shaped runs redact to typed tokens; order
@@ -673,6 +683,70 @@ def test_jpeg_rejects_corrupt_and_out_of_profile():
     hostile = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 2 + len(huge)) + huge)
     with _pytest.raises(ValueError, match="out of range"):
         J.decode_jpeg(hostile)
+
+
+def test_jpeg_hostile_payloads_raise_valueerror_only():
+    """The row-skip contract: EVERY malformed/hostile payload raises
+    ValueError (or NotImplementedError), never ZeroDivisionError /
+    IndexError / OverflowError — those would escape the mapInPandas
+    row-skip handlers and kill the Spark task. Scenarios from the round-4
+    adversarial review, each previously a different uncaught type."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return marker + _struct.pack(">H", 2 + len(body)) + body
+
+    # (1) component with 0x0 sampling factors -> was ZeroDivisionError
+    sof = _struct.pack(">BHHB", 8, 8, 8, 3)
+    sof += bytes([1, 0x00, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8" + seg(b"\xff\xc0", sof))
+
+    # (2a) trailing fill bytes to EOF -> was IndexError
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xff\xff\xff")
+
+    # (2b) empty SOS body -> was IndexError
+    good = J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    sof_i = good.index(b"\xff\xc0")
+    head = good[: good.index(b"\xff\xda")]
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(head + seg(b"\xff\xda", b""))
+
+    # (3) hostile DHT: DC symbol 64 -> was OverflowError on blk[0] store
+    dqt = b"\x00" + bytes([1] * 64)
+    bits = [0] * 16
+    bits[0] = 1  # one 1-bit code
+    dht_dc = bytes([0x00]) + bytes(bits) + bytes([64])  # symbol = size 64
+    dht_ac = bytes([0x10]) + bytes(bits) + bytes([0x00])  # EOB
+    sof1 = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    hostile = (
+        b"\xff\xd8" + seg(b"\xff\xdb", dqt) + seg(b"\xff\xc4", dht_dc)
+        + seg(b"\xff\xc4", dht_ac) + seg(b"\xff\xc0", sof1)
+        + seg(b"\xff\xda", sos) + b"\x00" * 16 + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(hostile)
+
+    # working-set cap: a tiny VALID payload declaring huge dims is refused
+    big = _struct.pack(">BHHB", 8, 16384, 16384, 1) + bytes([1, 0x11, 0])
+    with _pytest.raises(ValueError, match="out of range"):
+        J.decode_jpeg(b"\xff\xd8" + seg(b"\xff\xc0", big))
+
+    # fill bytes BEFORE an RSTn inside entropy data are legal (T.81
+    # B.1.1.2) and must decode, not truncate the scan
+    img = np.arange(32 * 16 * 3, dtype=np.uint8).reshape(32, 16, 3)
+    enc = J.encode_jpeg(img, restart_interval=1)
+    rst0 = enc.index(b"\xff\xd0")
+    padded = enc[:rst0] + b"\xff\xff" + enc[rst0:]
+    out = J.decode_jpeg(padded)
+    assert out.shape == img.shape
 
 
 def test_image_thumbnails_over_jpeg(spark):

@@ -42,12 +42,21 @@ TABLES = (
 def build() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # id stride derived from the base fixture, never hardcoded: a stride
+    # smaller than max(id)+1 would silently collide replica ids and the
+    # oracle comparison would "pass" against a corrupted corpus
+    doc_stride = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    vec_stride = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
     # documents: replica 0 verbatim; replica r>0 appends a replica token
     # (near-dup of the original, never exact) and re-derives n_chars
     con.execute(
         f"""
         COPY (
-            SELECT d.doc_id + r.r * 10000 AS doc_id,
+            SELECT d.doc_id + r.r * {doc_stride} AS doc_id,
                    CASE WHEN r.r = 0 THEN d.text
                         ELSE d.text || ' replica' || r.r END AS text,
                    d.lang, d.source,
@@ -65,7 +74,7 @@ def build() -> None:
     con.execute(
         f"""
         COPY (
-            SELECT e.vec_id + r.r * 10000 AS vec_id,
+            SELECT e.vec_id + r.r * {vec_stride} AS vec_id,
                    list_transform(
                        e.embedding, x -> (x + r.r * 0.001)::FLOAT
                    ) AS embedding,
