@@ -65,3 +65,22 @@ def write_blocks_sink(df: DataFrame, out_dir: str, fmt: str = "parquet") -> None
         df.write.mode("append").parquet(f"{out_dir}/blocks")
     else:  # pragma: no cover
         df.writeTo(out_dir).append()
+
+
+def publish_blocks_iceberg(out_dir: str, timestamp_ms: int) -> dict:
+    """Publish the CURRENT encoded-blocks file set as an Iceberg v2
+    snapshot rooted at ``out_dir`` (no data copy — the metadata references
+    the blocks parquet in place). Each call appends a snapshot, so repeated
+    publishes (per epoch / after vacuum or compact) give Iceberg readers
+    time travel over the table's commit history. Read back with
+    ``read_iceberg(spark, out_dir)`` or any Iceberg runtime."""
+    import glob as _glob
+
+    from cuda_float_compress_spark.sources.iceberg import (
+        export_iceberg_metadata,
+    )
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "blocks", "*.parquet")))
+    if not files:
+        raise ValueError(f"no block files under {out_dir}/blocks")
+    return export_iceberg_metadata(out_dir, files, timestamp_ms)

@@ -207,6 +207,96 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+def export_iceberg_metadata(
+    table_dir: str,
+    data_paths: list[str],
+    timestamp_ms: int,
+) -> dict:
+    """Publish an Iceberg v2 snapshot over EXISTING parquet files (no data
+    copy): writes a manifest + manifest list + metadata JSON under
+    ``table_dir``/metadata, appending to the table's snapshot history when
+    metadata already exists. Each snapshot lists the FULL current file set
+    (overwrite semantics — the engine's lineage commits decide what is
+    current; this export just republishes it for Iceberg readers).
+
+    This is the production shape of ``write_blocks_sink``'s Iceberg path:
+    the encoded blocks dir stays where it is, and any Iceberg-capable
+    engine (or :func:`read_iceberg_dir`) reads it with time travel across
+    exports. Data paths are recorded absolute, so the table reads in place;
+    relocation re-rooting only covers files under table_dir/{data,metadata}.
+
+    ``timestamp_ms`` is caller-provided (deterministic exports for tests;
+    production passes wall-clock). Returns {'snapshot_id', 'version'}."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    try:
+        meta = load_table_metadata(table_dir)
+    except FileNotFoundError:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": table_dir,
+            "last-sequence-number": 0,
+            "snapshots": [],
+            "schemas": [],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "sort-orders": [{"order-id": 0, "fields": []}],
+        }
+    prior = meta.get("snapshots", [])
+    snap_id = max((s["snapshot-id"] for s in prior), default=999) + 1
+    entries = []
+    for p in sorted(data_paths):
+        p = os.path.abspath(p)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": pq.read_metadata(p).num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
+    write_avro(man_path, _MANIFEST_SCHEMA, entries)
+    ml_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+    write_avro(
+        ml_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": snap_id,
+            }
+        ],
+    )
+    meta["snapshots"] = prior + [
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": ml_path,
+            "summary": {"operation": "overwrite"},
+        }
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = timestamp_ms
+    meta["last-sequence-number"] = int(meta.get("last-sequence-number", 0)) + 1
+    version = len(meta["snapshots"])
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {"snapshot_id": snap_id, "version": version}
+
+
 def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
     """Write a real Iceberg v2 table: one snapshot per entry of
     ``snapshots_rows`` (each a list of pandas DataFrames -> one parquet data

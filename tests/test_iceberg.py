@@ -132,6 +132,44 @@ def test_iceberg_refuses_delete_files(spark, tmp_path):
         data_files(tdir)
 
 
+def test_publish_blocks_iceberg_over_encoded_table(spark, tmp_path):
+    """An encoded table's blocks publish as an Iceberg snapshot in place
+    (no copy); repeated publishes append snapshots with time travel, and
+    the Iceberg view equals the parquet view byte-for-byte."""
+    from cuda_float_compress_spark.operators.direct import encode_table_direct
+    from cuda_float_compress_spark.sources import publish_blocks_iceberg
+    from cuda_float_compress_spark.table import generate_webpages_df
+
+    src = str(tmp_path / "pub_src")
+    out = str(tmp_path / "pub_enc")
+    generate_webpages_df(spark, 400, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, out, resume=False,
+                        target_rows_per_split=200)
+    r1 = publish_blocks_iceberg(out, timestamp_ms=1_700_000_000_000)
+    via_ice = read_iceberg(spark, out)
+    via_pq = spark.read.parquet(f"{out}/blocks")
+    assert via_ice.count() == via_pq.count()
+    assert via_ice.select("part_id", "chunk_id", "col").exceptAll(
+        via_pq.select("part_id", "chunk_id", "col")
+    ).count() == 0
+
+    # second encode run (disjoint parts) + republish -> new snapshot; old
+    # snapshot still reads the old file set
+    src2 = str(tmp_path / "pub_src2")
+    generate_webpages_df(spark, 200, partitions=1).write.parquet(src2)
+    encode_table_direct(spark, src2, out, resume=False,
+                        target_rows_per_split=200)
+    r2 = publish_blocks_iceberg(out, timestamp_ms=1_700_000_060_000)
+    assert r2["snapshot_id"] > r1["snapshot_id"]
+    assert read_iceberg(spark, out).count() == spark.read.parquet(
+        f"{out}/blocks"
+    ).count()
+    old = read_iceberg(spark, out, snapshot_id=r1["snapshot_id"])
+    assert old.count() == via_pq.count()  # time travel to the first publish
+    snaps = snapshots(out)
+    assert len(snaps) == 2 and snaps[-1]["is_current"]
+
+
 def test_iceberg_deleted_entries_and_missing(spark, tmp_path):
     from cuda_float_compress_spark.sources.iceberg import _MANIFEST_SCHEMA
 
