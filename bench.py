@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "clean_corpus",
     "stratified_sample",
+    "html_extract_text",
+    "pii_redaction",
 ]
 
 

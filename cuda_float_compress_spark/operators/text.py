@@ -126,19 +126,30 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id_col(text: Column) -> Column:
     """Stopword-marker language ID: count per-language marker words, argmax.
-    Pure JVM expressions — one regexp_count per language."""
+    Pure JVM expressions — each regexp_count appears in the tree EXACTLY
+    once: the argmax is array_max over (score, -index, lang) structs
+    (struct comparison is field-by-field, so ties go to the smallest
+    marker-table index, and the (0, 1, 'und') sentinel beats any zero
+    score — identical semantics to a sequential strictly-greater scan).
+    The previous chained-CASE formulation embedded each earlier score
+    subtree twice per step — ~2^L copies of the first regexes, measured
+    3.7 s for 5k docs vs ~0.2 s for this form (Spark does not CSE
+    subexpressions inside one projection)."""
     lowered = F.lower(text)
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        pat = r"\b(" + "|".join(markers) + r")\b"
-        scores.append((lang, F.regexp_count(lowered, F.lit(pat))))
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, s in scores:
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    elems = [
+        F.struct(
+            F.regexp_count(
+                lowered, F.lit(r"\b(" + "|".join(markers) + r")\b")
+            ).alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, markers) in enumerate(LANG_MARKERS.items())
+    ]
+    sentinel = F.struct(
+        F.lit(0).alias("s"), F.lit(1).alias("ni"), F.lit("und").alias("l")
+    )
+    return F.array_max(F.array(sentinel, *elems)).getField("l")
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
