@@ -126,7 +126,18 @@ def _unzstd(buf: bytes, expected: int) -> bytes:
 def compress_ref(values, max_error: float = 1e-4) -> bytes:
     """Compress a 1-D float32 array into the REFERENCE wire format
     (cuszplus_compress semantics: epsilon = 2*max_error,
-    src/cuda_float_compress.cpp:34)."""
+    src/cuda_float_compress.cpp:34).
+
+    Error contract (inherited from the reference, README.md:127-142): the
+    reference quantizes with a float32 reciprocal-multiply
+    (src/cuszplus_f32.cu:384-388) and decodes with a float32 product
+    (:472), so the observed round-trip error can reach ~2x max_error when
+    |x|*ulp(|x|) ~ epsilon (e.g. x=8389.25 at max_error=1e-3 decodes with
+    error 1.953e-3 = 2 ulp of x) — the quantize-product, rint, and
+    decode-product roundings each contribute. Bit parity with the reference
+    is exact; the user-facing bound is max_error only while float32
+    rounding of x/epsilon and q*epsilon stays small relative to epsilon
+    (|x|/epsilon well under 2^23)."""
     v = np.ascontiguousarray(values, dtype=np.float32).reshape(-1)
     n = len(v)
     epsilon = np.float32(2.0 * max_error)

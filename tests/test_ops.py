@@ -1205,6 +1205,9 @@ def test_streaming_minhash_dedup_across_epochs(spark, tmp_path):
     ).collect()[0]["n"]
     assert stream_buckets == n_buckets
     assert n_buckets <= 4 * 7  # bands * docs upper bound
+
+
+def test_session_windows(spark):
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
     differ — streaming closes at >=, batch at > — none exists in the fixture)."""
