@@ -168,9 +168,13 @@ def _kernel_decode_floor(out_dir: str) -> dict:
     t0 = time.perf_counter()
     raw = 0
     for f in sorted(glob.glob(f"{out_dir}/blocks/*.parquet")):
-        tbl = pq.read_table(
-            f, columns=["col", "ptype", "codec", "n", "n_nulls", "params",
-                        "raw_bytes", "payload"]
+        # ParquetFile + mmap + no readahead buffer: 3x faster than
+        # read_table's dataset machinery on these single-row-group files,
+        # and single-threaded (this is the 1-CORE floor)
+        tbl = pq.ParquetFile(f, memory_map=True, buffer_size=0).read(
+            columns=["col", "ptype", "codec", "n", "n_nulls", "params",
+                     "raw_bytes", "payload"],
+            use_threads=False,
         )
         for i in range(tbl.num_rows):
             Ch.decode_column_chunk(

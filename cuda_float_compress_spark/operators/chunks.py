@@ -131,15 +131,19 @@ def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str) -> pa.Array:
     validity = None
     if null_mask.any():
         validity = pa.py_buffer(np.packbits(~null_mask, bitorder="little").tobytes())
-    bin_arr = pa.Array.from_buffers(
-        pa.large_binary(),
+    # large_string shares large_binary's buffer layout; building it directly
+    # skips the cast's UTF8 validation pass (~13% of the 1-core decode floor).
+    # Safe: the data buffer is the decompressed output of our own encoder,
+    # which only ever stored bytes taken from a valid Arrow string column.
+    at = pa.large_string() if ptype == "string" else pa.large_binary()
+    return pa.Array.from_buffers(
+        at,
         len(lengths),
-        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        # py_buffer(offsets) wraps the numpy array zero-copy (and holds a
+        # reference); .tobytes() would add a full extra pass over offsets
+        [validity, pa.py_buffer(offsets), pa.py_buffer(data)],
         null_count=int(null_mask.sum()),
     )
-    if ptype == "string":
-        return bin_arr.cast(pa.large_string())
-    return bin_arr
 
 
 def _numeric_values_and_validity(arr: pa.Array, np_dtype) -> tuple[np.ndarray, np.ndarray | None]:

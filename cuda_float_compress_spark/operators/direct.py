@@ -257,7 +257,12 @@ def encode_table_direct(
         )
         blocks = splits_df.mapInArrow(encode_split, schema=BLOCKS_SCHEMA)
         with metrics.stage("encode_write"):
-            blocks.write.mode("append").parquet(f"{out_dir}/blocks")
+            # payload bytes are already entropy-coded: parquet-level snappy
+            # on top is a wasted (re)compression pass on write AND a
+            # decompression pass on every read (metadata columns are ~100 B)
+            blocks.write.mode("append").option(
+                "compression", "uncompressed"
+            ).parquet(f"{out_dir}/blocks")
 
         with metrics.stage("manifest"):
             written = spark.read.parquet(f"{out_dir}/blocks").filter(

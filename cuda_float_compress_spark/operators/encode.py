@@ -325,7 +325,10 @@ def encode_table(
     blocks = planned.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
 
     with metrics.stage("encode_write"):
-        blocks.write.mode("append").parquet(f"{out_dir}/blocks")
+        # payload is already entropy-coded; skip parquet-level recompression
+        blocks.write.mode("append").option(
+            "compression", "uncompressed"
+        ).parquet(f"{out_dir}/blocks")
 
     with metrics.stage("manifest"):
         # aggregate ONLY this run's blocks: stale partials from a crashed
