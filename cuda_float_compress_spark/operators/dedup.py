@@ -309,6 +309,24 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n_hashes, bands, shingle_k, bucket_cap,
         observation, shingle_mode,
     ).localCheckpoint(eager=True)
+    return jaccard_verify_candidates(
+        df, cands, id_col, text_col, shingle_k, shingle_mode, threshold
+    )
+
+
+def jaccard_verify_candidates(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    shingle_mode: str = "char",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact hashed-shingle-Jaccard verification of (id_a, id_b) candidate
+    pairs against the document store ``df`` — the verify stage of
+    :func:`minhash_lsh_pairs`, shared with the streaming epoch-end verifier
+    (candidates are tiny id pairs; only candidate docs are shingled)."""
     wanted = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

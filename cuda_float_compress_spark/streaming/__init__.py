@@ -4,6 +4,7 @@ from cuda_float_compress_spark.streaming.jobs import (  # noqa: F401
     run_stateful_counts,
     run_streaming_dedup,
     run_streaming_minhash_dedup,
+    run_streaming_minhash_dedup_verified,
     run_windowed_counts,
     sessionize_batch,
 )

@@ -298,6 +298,69 @@ def run_streaming_minhash_dedup(
     )
 
 
+def run_streaming_minhash_dedup_verified(
+    spark: SparkSession,
+    source_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    shingle_mode: str = "word",
+    threshold: float = 0.7,
+    bucket_cap: int = 64,
+    max_files_per_trigger: int | None = None,
+    query_name: str = "stream_minhash_v",
+) -> DataFrame:
+    """:func:`run_streaming_minhash_dedup` + the post-hoc verification the
+    stream cannot do in-state (state must never hold documents).
+
+    The streaming pass leaves every (band, key, id) row in its sink, so the
+    epoch-end batch step reconstructs EXACTLY the batch candidate set —
+    ``_window_capped_pairs`` over the sink rows is ``minhash_lsh_candidates``
+    over the union of all epochs (same banding expressions, same cap, same
+    lowest-ids-win ordering) — then runs the shared exact hashed-Jaccard
+    verify against the document store and derives the keep-list. The result
+    is therefore equal BY CONSTRUCTION to the batch
+    ``minhash_lsh_pairs`` -> ``dedup_keep_list`` composition on the same
+    corpus: not just for bucket-shaped groups, but for any fixture
+    (including buckets where only non-keeper members are true near-dups,
+    which the in-stream star-shaped keeper heuristic cannot link).
+
+    Cost model at scale: the verify join touches only candidate ids
+    (semi-join-pruned before shingling), so the epoch-end step is bounded
+    by candidate volume, not corpus size; streaming state stays O(buckets).
+
+    Returns the verified keep-list: one ``id_col`` row per kept document.
+    """
+    from cuda_float_compress_spark.operators.dedup import (
+        _window_capped_pairs,
+        dedup_keep_list,
+        jaccard_verify_candidates,
+    )
+
+    run_streaming_minhash_dedup(
+        spark, source_dir, text_col, id_col, n_hashes, bands, shingle_k,
+        shingle_mode, max_files_per_trigger, query_name,
+    )
+    # .distinct() guards against micro-batch re-delivery of the same row;
+    # the localCheckpoint cuts the MemorySink plan (whose views hit a
+    # Catalyst conflicting-attribute error under self-join) and the rows —
+    # (band, key, id) triples — are tiny and feed both sides of the
+    # candidate self-join
+    sink = (
+        spark.sql(f"SELECT band, key, id FROM {query_name}")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cands = _window_capped_pairs(sink, ["band", "key"], bucket_cap)
+    docs = spark.read.parquet(source_dir)
+    pairs = jaccard_verify_candidates(
+        docs, cands, id_col, text_col, shingle_k, shingle_mode, threshold
+    )
+    return dedup_keep_list(docs, pairs, id_col)
+
+
 def encode_stream(
     spark: SparkSession,
     source_dir: str,

@@ -1207,6 +1207,56 @@ def test_streaming_minhash_dedup_across_epochs(spark, tmp_path):
     assert n_buckets <= 4 * 7  # bands * docs upper bound
 
 
+def test_streaming_minhash_dedup_verified_equals_batch(spark, tmp_path):
+    """Streaming near-dup + epoch-end exact-Jaccard verification == the batch
+    minhash_lsh_pairs -> dedup_keep_list composition EXACTLY (the sink holds
+    every (band, key, id) row, so the verifier reconstructs the batch
+    candidate set by construction, then runs the same verify + keep-list)."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.operators import dedup
+    from cuda_float_compress_spark.streaming import (
+        run_streaming_minhash_dedup_verified,
+    )
+
+    src = tmp_path / "smhv_src"
+    src.mkdir()
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base_b = "completely different content about spark compression engines at scale now"
+    epochs = [
+        [(0, base_a), (1, base_a.replace("lazy", "sleepy")),
+         (2, "unique words nothing shared here at all zero overlap whatsoever")],
+        # a LOW-similarity rewrite that still lands in some shared band is
+        # exactly what in-stream state must admit as a candidate and the
+        # epoch-end verify must then reject; the exact-equality assertion
+        # below holds regardless of which side of the threshold it falls
+        [(3, base_a), (4, base_b),
+         (5, "the quick brown fox sat beside a very lazy dog in deep snow")],
+        [(6, base_b.replace("engines", "systems")),
+         (7, "another totally distinct document with its own private vocabulary")],
+    ]
+    for i, chunk in enumerate(epochs):
+        pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
+            src / f"part{i}.parquet"
+        )
+    stream_keep = {
+        r["doc_id"]
+        for r in run_streaming_minhash_dedup_verified(
+            spark, str(src), shingle_mode="word", query_name="smhvtest",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    docs = spark.read.parquet(str(src))
+    batch_pairs = dedup.minhash_lsh_pairs(docs, "doc_id", shingle_mode="word")
+    batch_keep = {
+        r["doc_id"]
+        for r in dedup.dedup_keep_list(docs, batch_pairs, "doc_id").collect()
+    }
+    assert stream_keep == batch_keep, (stream_keep, batch_keep)
+    # the verify step must have dropped at least the exact re-arrival (doc 3)
+    assert 3 not in stream_keep and 0 in stream_keep
+
+
 def test_session_windows(spark):
     """Structured Streaming session_window == the batch window-function twin
     (same gap semantics on this data; an event exactly at last+gap would
