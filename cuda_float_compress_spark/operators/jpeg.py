@@ -7,12 +7,13 @@ engine's media operators must sniff and decode the dominant web formats).
 JPEG is the top web image format; this module closes the last honest stub
 the same way PNG was closed: from the spec, with stdlib + numpy only.
 
-Supported profile (the web-dominant one): baseline sequential DCT (SOF0),
-8-bit, 1 or 3 components, interleaved scan, any 1-2 h/v sampling factors
-(4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn), byte stuffing.
-Progressive (SOF2) and arithmetic coding raise ValueError — malformed or
-out-of-profile payloads are row-skips in the Spark pipelines, never task
-failures.
+Supported profiles (covering the web-dominant formats): baseline
+sequential DCT (SOF0/1) and progressive DCT (SOF2, spectral selection +
+successive approximation per T.81 Annex G), 8-bit, 1 or 3 components, any
+1-2 h/v sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers
+(DRI/RSTn), byte stuffing. Arithmetic coding and lossless/differential
+processes raise ValueError — malformed or out-of-profile payloads are
+row-skips in the Spark pipelines, never task failures.
 
 ``encode_jpeg`` is the test/fixture twin (the decode path's adversary in
 property tests): Annex-K quantization tables with the libjpeg quality
@@ -199,11 +200,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
+    prog_state = None
     restart_interval = 0
     pos = 2
     n = len(payload)
     while True:
         if pos + 4 > n:
+            if prog_state is not None:
+                break  # progressive stream truncated after last scan: EOI
+                # missing but every decoded scan is usable (be liberal)
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -215,6 +220,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
             continue
+        if marker == 0xD9:  # EOI
+            if prog_state is not None:
+                break  # all progressive scans decoded — assemble below
+            raise ValueError("EOI before image data")
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         body = payload[pos + 2 : pos + seg_len]
         if len(body) != seg_len - 2:
@@ -248,7 +257,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + nsyms
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -265,12 +274,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG coding process (progressive/arithmetic) — "
-                "only baseline sequential is implemented"
+                "unsupported JPEG coding process (lossless/arithmetic/"
+                "differential) — baseline and progressive huffman only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -287,16 +297,45 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cs] = (tda >> 4, tda & 0x0F)
             scan_start = pos + seg_len
-            return _decode_scan(
-                payload, scan_start, frame, sel, qt, huff, restart_interval
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload, scan_start, frame, sel, qt, huff,
+                    restart_interval,
+                )
+            # progressive: Ss/Se/Ah/Al follow the component list
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS spectral parameters")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _init_progressive_state(frame)
+            pos = _decode_progressive_scan(
+                payload, scan_start, frame, prog_state, sel, ss, se,
+                ahal >> 4, ahal & 0x0F, huff, restart_interval,
             )
+            continue
         # APPn / COM / others: skip
         pos += seg_len
-    raise ValueError("unreachable")
+
+    # progressive: all scans accumulated — dequantize and assemble once
+    for c in prog_state["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+    return _assemble_image(
+        prog_state["comps"], qt, prog_state["hmax"], prog_state["vmax"],
+        frame["h"], frame["w"], len(prog_state["comps"]),
+    )
 
 
 def _split_scan(payload: bytes, start: int) -> list[bytes]:
     """Entropy-coded data -> de-stuffed segments split at RST markers."""
+    return _split_scan_pos(payload, start)[0]
+
+
+def _split_scan_pos(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """(segments, end) — ``end`` is the offset of the 0xFF that terminates
+    the scan (the next marker), so a multi-scan (progressive) parser can
+    resume marker processing there."""
     segs = []
     cur = bytearray()
     pos = start
@@ -322,7 +361,226 @@ def _split_scan(payload: bytes, start: int) -> list[bytes]:
         else:  # EOI or next marker ends the scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
+
+
+def _init_progressive_state(frame) -> dict:
+    """Per-component coefficient grids accumulated across progressive scans
+    (T.81 Annex G): full interleaved-grid dims for MCU scans, plus the
+    non-interleaved block dims each single-component scan iterates over."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+             "comps": []}
+    for c in comps:
+        bx = mcux * c["h"]
+        by = mcuy * c["v"]
+        # non-interleaved dims: blocks covering THIS component's samples
+        cw = -(-w * c["h"] // hmax)   # ceil(w * h_i / hmax)
+        ch = -(-h * c["v"] // vmax)
+        state["comps"].append({
+            **c,
+            "bx": bx, "by": by,
+            "nbx": -(-cw // 8),
+            "nby": -(-ch // 8),
+            "coef": np.zeros((by * bx, 64), np.int32),
+        })
+    return state
+
+
+_COEF_CLIP = 1 << 30  # matches the baseline hostile-stream clip
+
+
+def _prog_dc_scan(reader, comps_in_scan, state, mcu_range, al, refine):
+    """DC scan over interleaved MCUs (or a single component's blocks when
+    the scan is non-interleaved). First pass stores diff<<al per G.1.2.1;
+    refinement appends one raw bit at position al (|= works on the stored
+    two's-complement value: the bit is clear in well-formed streams)."""
+    interleaved = len(comps_in_scan) > 1
+    mcux = state["mcux"]
+    for mcu in mcu_range:
+        for c in comps_in_scan:
+            if interleaved:
+                my, mx = divmod(mcu, mcux)
+                blocks = [
+                    ((my * c["v"] + by) * c["bx"] + (mx * c["h"] + bx))
+                    for by in range(c["v"]) for bx in range(c["h"])
+                ]
+            else:
+                my, mx = divmod(mcu, c["nbx"])
+                blocks = [my * c["bx"] + mx]
+            for bi in blocks:
+                if refine:
+                    if reader.read_bit():
+                        c["coef"][bi, 0] |= np.int32(1 << al)
+                else:
+                    size = reader.decode(c["dc_tab"])
+                    if size > 16:
+                        raise ValueError("invalid JPEG DC size category")
+                    diff = _extend(reader.receive(size), size)
+                    c["pred"] += diff
+                    c["coef"][bi, 0] = np.int32(
+                        max(-_COEF_CLIP, min(_COEF_CLIP, c["pred"] << al))
+                    )
+
+
+def _prog_ac_first(reader, c, blk_range, ss, se, al, eobrun):
+    """AC first scan for one component (G.1.2.2): runs/sizes like baseline
+    but banded to [ss, se], values stored <<al, and EOBn codes start a run
+    of ``eobrun`` entirely-zero (in this band) blocks."""
+    coef = c["coef"]
+    for unit in blk_range:
+        my, mx = divmod(unit, c["nbx"])
+        bi = my * c["bx"] + mx
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = reader.decode(c["ac_tab"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            v = _extend(reader.receive(s), s) << al
+            coef[bi, k] = np.int32(max(-_COEF_CLIP, min(_COEF_CLIP, v)))
+            k += 1
+    return eobrun
+
+def _prog_ac_refine(reader, c, blk_range, ss, se, al, eobrun):
+    """AC refinement scan (G.1.2.3): each already-nonzero coefficient in the
+    band consumes one correction bit when visited; run lengths count only
+    zero-history positions; newly-significant coefficients arrive as +-1<<al."""
+    coef = c["coef"]
+    p1 = 1 << al
+
+    def correct(bi, k):
+        # append the correction bit to the magnitude (guard: skip if the
+        # bit is somehow already set — hostile streams only)
+        if reader.read_bit():
+            v = int(coef[bi, k])
+            mag = v if v > 0 else -v
+            if not (mag & p1):
+                mag += p1
+                coef[bi, k] = np.int32(mag if v > 0 else -mag)
+
+    for unit in blk_range:
+        my, mx = divmod(unit, c["nbx"])
+        bi = my * c["bx"] + mx
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(c["ac_tab"])
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # rest of band handled by the eobrun tail
+                    # r == 15: pass over 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("invalid AC refinement size")
+                    newval = p1 if reader.read_bit() else -p1
+                # advance over r zero-history positions, emitting correction
+                # bits for every nonzero-history coefficient on the way
+                while k <= se:
+                    if coef[bi, k]:
+                        correct(bi, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    coef[bi, k] = np.int32(newval)
+                k += 1
+        if eobrun > 0:
+            # EOB run covers this block's remaining band: correction bits
+            # only for nonzero-history coefficients
+            while k <= se:
+                if coef[bi, k]:
+                    correct(bi, k)
+                k += 1
+            eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, start, frame, state, sel, ss, se,
+                             ah, al, huff, restart_interval):
+    """One progressive SOS: dispatch to DC/AC first/refinement over the
+    scan's restart segments. Returns the payload offset where the scan's
+    entropy data ends (the next marker's 0xFF)."""
+    comps_in_scan = []
+    for c in state["comps"]:
+        if c["id"] in sel:
+            dc_tc, ac_tc = sel[c["id"]]
+            if ss == 0:
+                if not ah and (0, dc_tc) not in huff:
+                    raise ValueError("missing huffman table")
+                c["dc_tab"] = huff.get((0, dc_tc))
+            else:
+                if (1, ac_tc) not in huff:
+                    raise ValueError("missing huffman table")
+                c["ac_tab"] = huff[(1, ac_tc)]
+            comps_in_scan.append(c)
+    if len(comps_in_scan) != len(sel):
+        raise ValueError("scan references unknown component")
+    if ss > se or se > 63 or al > 13 or ah > 14:
+        raise ValueError("invalid spectral selection / approximation")
+    if ss == 0 and se != 0:
+        # baseline-style full-band scans are illegal in progressive frames
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(comps_in_scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if ah and ah != al + 1:
+        raise ValueError("invalid successive approximation step")
+
+    if len(comps_in_scan) > 1:
+        total_units = state["mcux"] * state["mcuy"]
+    else:
+        c = comps_in_scan[0]
+        total_units = c["nbx"] * c["nby"]
+
+    segs, end = _split_scan_pos(payload, start)
+    per_seg = restart_interval if restart_interval else total_units
+    unit = 0
+    seg_idx = 0
+    while unit < total_units:
+        if seg_idx >= len(segs):
+            raise ValueError("JPEG scan ended before all units decoded")
+        reader = _BitReader(segs[seg_idx])
+        for c in comps_in_scan:
+            c["pred"] = 0  # DC predictor resets at restart boundaries
+        eobrun = 0  # EOB runs must not cross restart boundaries
+        count = min(per_seg, total_units - unit)
+        rng = range(unit, unit + count)
+        if ss == 0:
+            _prog_dc_scan(reader, comps_in_scan, state, rng, al, ah > 0)
+        elif ah == 0:
+            eobrun = _prog_ac_first(
+                reader, comps_in_scan[0], rng, ss, se, al, eobrun
+            )
+        else:
+            eobrun = _prog_ac_refine(
+                reader, comps_in_scan[0], rng, ss, se, al, eobrun
+            )
+        unit += count
+        seg_idx += 1
+    return end
 
 
 def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
@@ -400,6 +658,12 @@ def _decode_scan(payload, start, frame, sel, qt, huff, restart_interval):
             mcu += 1
         seg_idx += 1
 
+    return _assemble_image(comps, qt, hmax, vmax, h, w, ncomp)
+
+
+def _assemble_image(comps, qt, hmax, vmax, h, w, ncomp) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT + upsample + color-convert the decoded
+    coefficient grids — shared by the baseline and progressive paths."""
     planes = []
     for c in comps:
         dq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]  # zigzag order
@@ -510,15 +774,11 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 RGB (or HxW gray) uint8 -> baseline JFIF bytes.
-    ``subsample``: '444' or '420'; ``restart_interval``: MCUs per RSTn
-    segment (0 = none)."""
+def _quantize_planes(img: np.ndarray, quality: int, subsample: str):
+    """Color-convert, subsample, pad, DCT, and quantize — the shared front
+    half of the baseline and progressive encoders. Returns
+    (comp_blocks, samp, h, w, mcux, mcuy, qt_l, qt_c, gray): comp_blocks
+    are (n_blocks, 64) zigzag-ordered int64 grids per component."""
     gray = img.ndim == 2
     if gray:
         img = img[:, :, None]
@@ -527,7 +787,6 @@ def encode_jpeg(
         raise ValueError("subsample must be '444' or '420'")
     sub = 2 if (subsample == "420" and not gray) else 1
     qt_l, qt_c = _quality_tables(quality)
-    tabs = _encode_tables()
 
     if gray:
         y = img[:, :, 0].astype(np.float64)
@@ -573,9 +832,12 @@ def encode_jpeg(
         ).astype(np.int64)
         quant = np.clip(quant, -1023, 1023)
         comp_blocks.append(quant)  # (n_blocks, 64) zigzag order
+    return comp_blocks, samp, h, w, mcux, mcuy, qt_l, qt_c, gray
 
-    # --- assemble the stream -------------------------------------------------
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _write_headers(out, sof_marker, comp_blocks, samp, h, w, qt_l, qt_c,
+                   gray, tabs, restart_interval):
+    """APP0 + DQT + SOF + DHT (+DRI) — shared by both encoders."""
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
 
@@ -592,7 +854,7 @@ def encode_jpeg(
     for i in range(ncomp):
         sh, sv = samp[i]
         sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
 
     for tc, key in ((0, "dc_dht"), (1, "ac_dht")):
         bits, vals = tabs[key]
@@ -601,6 +863,29 @@ def encode_jpeg(
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return ncomp
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> baseline JFIF bytes.
+    ``subsample``: '444' or '420'; ``restart_interval``: MCUs per RSTn
+    segment (0 = none)."""
+    comp_blocks, samp, h, w, mcux, mcuy, qt_l, qt_c, gray = _quantize_planes(
+        img, quality, subsample
+    )
+    tabs = _encode_tables()
+
+    # --- assemble the stream -------------------------------------------------
+    out = bytearray(b"\xff\xd8")  # SOI
+    ncomp = _write_headers(
+        out, b"\xff\xc0", comp_blocks, samp, h, w, qt_l, qt_c, gray, tabs,
+        restart_interval,
+    )
 
     sos = bytes([ncomp])
     for i in range(ncomp):
@@ -658,5 +943,233 @@ def encode_jpeg(
                         writer.write(code, ln)
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test/fixture twin for the progressive decode path)
+# ---------------------------------------------------------------------------
+
+
+def _prog_write_dc_first(writer, comp_blocks, samp, mcux, mcuy, al,
+                         dc_enc):
+    """Interleaved DC-first scan: diff-code (DC >> al) per G.1.2.1 (the DC
+    point transform is an ARITHMETIC shift of the signed value)."""
+    ncomp = len(comp_blocks)
+    preds = [0] * ncomp
+    blocks_x = [mcux * s[0] for s in samp]
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    row = my * sv + by
+                    col = mx * sh + bx
+                    dc = int(comp_blocks[ci][row * blocks_x[ci] + col, 0])
+                    v = dc >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = _csize(diff)
+                    ln, code = dc_enc[size]
+                    writer.write(code, ln)
+                    writer.write(_mag_bits(diff, size), size)
+
+
+def _prog_write_dc_refine(writer, comp_blocks, samp, mcux, mcuy, al):
+    """Interleaved DC refinement: one raw bit per block — bit ``al`` of the
+    two's-complement DC value."""
+    ncomp = len(comp_blocks)
+    blocks_x = [mcux * s[0] for s in samp]
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    row = my * sv + by
+                    col = mx * sh + bx
+                    dc = int(comp_blocks[ci][row * blocks_x[ci] + col, 0])
+                    writer.write((dc >> al) & 1, 1)
+
+
+def _prog_write_ac_first(writer, blocks, ss, se, al, ac_enc):
+    """Non-interleaved AC-first scan: baseline-style runs banded to
+    [ss, se] on the point-transformed values sign*(|v|>>al). All-zero bands
+    emit EOB (an EOB run of 1 — always legal, no EOBn table entries
+    needed)."""
+    for blk in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = abs(v) >> al
+            vals.append(a if v >= 0 else -a)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            ln, code = ac_enc[0x00]  # EOB
+            writer.write(code, ln)
+            continue
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            s = _csize(v)
+            ln, code = ac_enc[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(_mag_bits(v, s), s)
+            run = 0
+        if nz[-1] < se - ss:
+            ln, code = ac_enc[0x00]  # EOB
+            writer.write(code, ln)
+
+
+def _prog_write_ac_refine(writer, blocks, ss, se, al, ac_enc):
+    """Non-interleaved AC refinement scan (G.1.2.3 encoder side): newly
+    significant coefficients as (run,1)+sign; one correction bit for every
+    nonzero-history coefficient the decoder's walk passes over, attached to
+    the symbol whose walk covers it (ZRL segments split the run at every
+    16th zero-history position)."""
+    for blk in blocks:
+        # per position: history (|v| at the coarser precision), target bit
+        hist = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = abs(v)
+            hist.append((a >> (al + 1), (a >> al) & 1, v > 0))
+        i = 0
+        nband = se - ss + 1
+        while i < nband:
+            # walk to the next newly-significant coefficient, splitting into
+            # ZRL segments at every 16th zero-history position
+            zrl_segs = []   # list of correction-bit lists, one per ZRL
+            corr = []       # corrections since the last emitted symbol
+            z = 0
+            j = i
+            found = None
+            while j < nband:
+                h, bit, pos = hist[j]
+                if h:
+                    corr.append(bit)
+                elif bit == 0:
+                    if z == 15:
+                        zrl_segs.append(corr)
+                        corr = []
+                        z = 0
+                    else:
+                        z += 1
+                else:  # newly significant (h == 0, bit == 1)
+                    found = j
+                    break
+                j += 1
+            if found is None:
+                # rest of band: EOB covers it (decoder reads a correction
+                # bit for every remaining nonzero-history coefficient, ZRL
+                # segmentation does not apply)
+                if i < nband:
+                    ln, code = ac_enc[0x00]
+                    writer.write(code, ln)
+                    for seg in zrl_segs:
+                        for b in seg:
+                            writer.write(b, 1)
+                    for b in corr:
+                        writer.write(b, 1)
+                break
+            for seg in zrl_segs:
+                ln, code = ac_enc[0xF0]
+                writer.write(code, ln)
+                for b in seg:
+                    writer.write(b, 1)
+            ln, code = ac_enc[(z << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if hist[found][2] else 0, 1)
+            for b in corr:
+                writer.write(b, 1)
+            i = found + 1
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script exercises every progressive scan type the decoder supports:
+    interleaved DC first at Al=1, DC refinement, then per component two
+    spectral AC bands (1-5, 6-63) first at Al=1 and refined to Al=0.
+    Quantized coefficients are identical to :func:`encode_jpeg` at the same
+    (quality, subsample), so progressive decode must reproduce the baseline
+    decode EXACTLY — the property the round-trip tests pin."""
+    comp_blocks, samp, h, w, mcux, mcuy, qt_l, qt_c, gray = _quantize_planes(
+        img, quality, subsample
+    )
+    tabs = _encode_tables()
+    dc_enc, ac_enc = tabs["dc_enc"], tabs["ac_enc"]
+    ncomp = len(comp_blocks)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _write_headers(
+        out, b"\xff\xc2", comp_blocks, samp, h, w, qt_l, qt_c, gray, tabs, 0
+    )
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def comp_scan_blocks(ci):
+        """The blocks a non-interleaved scan iterates: the component's OWN
+        sample grid (nbx x nby), row-major, indexed into the full MCU grid."""
+        sh, sv = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        bxf = mcux * sh  # full-grid row stride
+        nbx = -(-(-(-w * sh // hmax)) // 8)
+        nby = -(-(-(-h * sv // vmax)) // 8)
+        return [
+            comp_blocks[ci][my * bxf + mx]
+            for my in range(nby) for mx in range(nbx)
+        ]
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    _prog_write_dc_first(writer, comp_blocks, samp, mcux, mcuy, 1, dc_enc)
+    writer.flush()
+    out += writer.out
+
+    # scan 2: DC refinement to full precision
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    _prog_write_dc_refine(writer, comp_blocks, samp, mcux, mcuy, 0)
+    writer.flush()
+    out += writer.out
+
+    # scans 3..: AC bands, first pass at Al=1 then refinement to Al=0
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        blocks = comp_scan_blocks(ci)
+        for ss, se in bands:
+            out += sos([ci + 1], ss, se, 0, 1)
+            writer = _BitWriter()
+            _prog_write_ac_first(writer, blocks, ss, se, 1, ac_enc)
+            writer.flush()
+            out += writer.out
+    for ci in range(ncomp):
+        blocks = comp_scan_blocks(ci)
+        for ss, se in bands:
+            out += sos([ci + 1], ss, se, 1, 0)
+            writer = _BitWriter()
+            _prog_write_ac_refine(writer, blocks, ss, se, 0, ac_enc)
+            writer.flush()
+            out += writer.out
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

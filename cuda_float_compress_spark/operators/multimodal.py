@@ -3,8 +3,9 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 REAL decoders (pure numpy, no external libs): uncompressed 24-bit BMP,
 binary PPM (P6), PCM-16 WAV, 8-bit PNG (zlib + all five scanline filters),
-and baseline JPEG (huffman + IDCT + chroma upsample — operators/jpeg.py).
-Remaining compressed formats (WebP/OGG/WebM, progressive JPEG) would need
+and baseline + progressive JPEG (huffman + IDCT + chroma upsample —
+operators/jpeg.py).
+Remaining compressed formats (WebP/OGG/WebM) would need
 codec libraries not present in this container; for those ``decode_image``
 raises NotImplementedError unless ``fake=True``, in which case a
 deterministic fake decoder stands in so the Spark-side plumbing — schema,
@@ -358,10 +359,10 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array. REAL for BMP 24-bit,
-    PPM P6, PNG (8-bit, pure numpy+zlib — see decode_png), and baseline
-    JPEG (pure numpy huffman+IDCT — see operators/jpeg.py); WebP and
-    progressive JPEG need codec libraries not present in this container —
-    pass fake=True for the deterministic stand-in (plumbing tests)."""
+    PPM P6, PNG (8-bit, pure numpy+zlib — see decode_png), and baseline +
+    progressive JPEG (pure numpy huffman+IDCT — see operators/jpeg.py);
+    WebP needs codec libraries not present in this container — pass
+    fake=True for the deterministic stand-in (plumbing tests)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":

@@ -232,3 +232,30 @@ def test_jpeg_roundtrip_generated(h, w, seed, subsample, rst, quality):
     assert out.shape == (h, w, 3)
     err = np.abs(out.astype(int) - img.astype(int)).mean()
     assert err < (25.0 if quality < 80 else 15.0), (h, w, subsample, quality, err)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=60, max_value=100),
+    st.booleans(),                            # grayscale
+)
+def test_jpeg_progressive_equals_baseline_generated(h, w, seed, subsample,
+                                                    quality, gray):
+    """Progressive (SOF2) decode of the progressive encoder twin is
+    pixel-identical to baseline decode of the baseline encoder at the same
+    (quality, subsample) — both paths see the same quantized coefficients,
+    so the multi-scan DC/AC first/refinement machinery must be lossless."""
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=quality,
+                                       subsample=subsample))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality,
+                                                   subsample=subsample))
+    assert np.array_equal(base, prog), (h, w, subsample, quality, gray)

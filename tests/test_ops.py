@@ -658,6 +658,54 @@ def test_jpeg_roundtrip_modes():
     assert multimodal.decode_image(J.encode_jpeg(img)).shape == img.shape
 
 
+def test_jpeg_progressive_equals_baseline():
+    """Progressive decode (SOF2: DC first/refine + banded AC first/refine,
+    EOB runs, ZRL-in-refinement) reproduces the baseline decode EXACTLY —
+    the progressive encoder twin emits identical quantized coefficients, so
+    any pixel difference is a scan-decoder bug."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:33, 0:26]
+    cases = [
+        # flat + gradient: EOB-run-heavy AC scans
+        (np.stack([(yy * 2) % 256, np.full_like(yy, 77), (xx * 3) % 256],
+                  axis=2).astype(np.uint8), "444", 85),
+        # noise: dense AC coefficients, ZRL + refinement corrections
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8), "420", 90),
+        # grayscale single-component frame
+        (rng.integers(0, 256, (21, 13), dtype=np.uint8), "444", 75),
+        # tiny image (single MCU, partial blocks)
+        (rng.integers(0, 256, (5, 6, 3), dtype=np.uint8), "420", 95),
+    ]
+    for img, sub, q in cases:
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub))
+        prog_bytes = J.encode_jpeg_progressive(img, quality=q, subsample=sub)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = J.decode_jpeg(prog_bytes)
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+        # multimodal dispatch handles progressive payloads too
+        assert multimodal.decode_image(prog_bytes).shape == base.shape
+
+    # truncated inside headers fails cleanly (ValueError contract)
+    full = J.encode_jpeg_progressive(cases[0][0], quality=85)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(full[:40])
+    # mid-stream truncation: progressive is DESIGNED for partial render —
+    # a cut at a scan boundary decodes the scans received (correct dims);
+    # a cut inside entropy data still raises the contract type
+    h0, w0 = cases[0][0].shape[:2]
+    for cut in range(len(full) // 3, len(full), 97):
+        try:
+            partial = J.decode_jpeg(full[:cut])
+            assert partial.shape == (h0, w0, 3)
+        except ValueError:
+            pass
+
+
 def test_jpeg_rejects_corrupt_and_out_of_profile():
     import struct as _struct
 
@@ -673,11 +721,16 @@ def test_jpeg_rejects_corrupt_and_out_of_profile():
         J.decode_jpeg(good[:30])  # truncated mid-segment
     with _pytest.raises(ValueError):
         J.decode_jpeg(good[:-20])  # truncated entropy stream
-    # progressive (SOF2) is an honest out-of-profile rejection
+    # progressive (SOF2) is now SUPPORTED; a truncated progressive stream
+    # (SOF with no scans) still fails cleanly
     sof2 = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     prog = (b"\xff\xd8\xff\xc2" + _struct.pack(">H", 2 + len(sof2)) + sof2)
-    with _pytest.raises(ValueError, match="progressive"):
+    with _pytest.raises(ValueError):
         J.decode_jpeg(prog)
+    # arithmetic coding (SOF9) remains an honest out-of-profile rejection
+    arith = (b"\xff\xd8\xff\xc9" + _struct.pack(">H", 2 + len(sof2)) + sof2)
+    with _pytest.raises(ValueError, match="arithmetic"):
+        J.decode_jpeg(arith)
     # hostile SOF dimensions rejected before any allocation
     huge = _struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
     hostile = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 2 + len(huge)) + huge)
