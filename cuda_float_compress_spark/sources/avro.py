@@ -76,6 +76,39 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _register_names(schema, names: dict) -> None:
+    """Pre-walk a writer schema registering every named type (record /
+    fixed / enum), under both its short name and its namespace-qualified
+    full name. Lazy registration during decode was a latent hole: a named
+    type defined only inside a union branch never taken for the first
+    records (e.g. a null-first optional record) made later by-name
+    references fail with 'unknown avro type'."""
+    if isinstance(schema, list):
+        for s in schema:
+            _register_names(s, names)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    name = schema.get("name")
+    if t in ("record", "fixed", "enum") and name:
+        names[name] = schema
+        ns = schema.get("namespace")
+        if ns:
+            names[f"{ns}.{name}"] = schema
+        if "." in name:  # name may itself be a fullname (spec allows)
+            names[name.rsplit(".", 1)[1]] = schema
+    if t == "record":
+        for f in schema.get("fields", []):
+            _register_names(f.get("type"), names)
+    elif t == "array":
+        _register_names(schema.get("items"), names)
+    elif t == "map":
+        _register_names(schema.get("values"), names)
+    elif isinstance(t, (dict, list)):
+        _register_names(t, names)
+
+
 def _decode(schema, buf: io.BytesIO, names: dict):
     if isinstance(schema, str):
         if schema in names:
@@ -146,6 +179,17 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     return _decode(t, buf, names)  # nested named/primitive reference
 
 
+def read_avro_meta(path: str) -> dict:
+    """The container's file-metadata map (bytes values) — Iceberg stores
+    spec-required keys (schema, partition-spec, format-version) here."""
+    with open(path, "rb") as f:
+        raw = f.read(1 << 20)
+    buf = io.BytesIO(raw)
+    if buf.read(4) != _MAGIC:
+        raise ValueError("not an avro object container file")
+    return _decode({"type": "map", "values": "bytes"}, buf, {})
+
+
 def read_avro(path: str) -> list[dict]:
     """Decode every record of an Avro Object Container File."""
     with open(path, "rb") as f:
@@ -159,6 +203,8 @@ def read_avro(path: str) -> list[dict]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
+    names: dict = {}
+    _register_names(schema, names)
     sync = buf.read(16)
     records: list[dict] = []
     while True:
@@ -175,7 +221,7 @@ def read_avro(path: str) -> list[dict]:
             block = zlib.decompress(block, -15)
         bbuf = io.BytesIO(block)
         for _ in range(n):
-            records.append(_decode(schema, bbuf, {}))
+            records.append(_decode(schema, bbuf, dict(names)))
         if buf.read(16) != sync:
             raise ValueError("avro sync marker mismatch")
     return records
@@ -252,11 +298,17 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
 
 
 def write_avro(path: str, schema: dict, records: list[dict],
-               codec: str = "deflate") -> None:
-    """Write an Avro Object Container File (test-fixture twin of read_avro)."""
+               codec: str = "deflate",
+               extra_meta: dict | None = None) -> None:
+    """Write an Avro Object Container File (test-fixture twin of read_avro).
+    ``extra_meta``: additional file-metadata entries (str or bytes values) —
+    Iceberg manifests carry spec-required keys like ``schema`` and
+    ``format-version`` here."""
     body = bytearray()
+    wnames: dict = {}
+    _register_names(schema, wnames)
     for r in records:
-        _encode(schema, r, body, {})
+        _encode(schema, r, body, dict(wnames))
     block = bytes(body)
     if codec == "deflate":
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -271,6 +323,8 @@ def write_avro(path: str, schema: dict, records: list[dict],
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _write_long(out, len(meta))
     for k, v in meta.items():
         _encode("string", k, out, {})

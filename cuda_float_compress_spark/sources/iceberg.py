@@ -21,7 +21,13 @@ engine does not ship, and silently ignoring them would return wrong rows.
 ``write_iceberg_fixture`` is the test twin (the encode_png/encode_jpeg
 playbook): it writes a real two-snapshot Iceberg v2 table — parquet data
 files, deflate-compressed Avro manifests + manifest lists, metadata JSON,
-version-hint — that this reader AND any real Iceberg runtime can read.
+version-hint. Written tables carry every v2-spec-REQUIRED field (schemas
+derived from the parquet files with column ids + last-column-id,
+default-spec-id / last-partition-id, sequence numbers, manifest-list
+file/row counts, the empty ``partition`` struct per data file, and the
+manifest Avro file-metadata keys) — validated in-repo by a
+spec-conformance test plus this reader; external-runtime interop is
+untested in this container (no Iceberg jars / pyiceberg wheel).
 """
 
 from __future__ import annotations
@@ -38,7 +44,20 @@ from cuda_float_compress_spark.sources.avro import read_avro, write_avro
 
 
 def _strip_scheme(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
+    """Strip the ``file:`` scheme in all its spellings: Hadoop writes
+    ``file:///p`` (and ``file://host/p``), Java URI.toString writes
+    ``file:/p`` (single slash) — all must resolve to the local path, not
+    fall through to the basename re-rooting fallback (which could silently
+    pick a different same-named file)."""
+    if not path.startswith("file:"):
+        return path
+    rest = path[5:]
+    if rest.startswith("//"):
+        rest = rest[2:]
+        if not rest.startswith("/"):  # authority (host) present: drop it
+            slash = rest.find("/")
+            rest = rest[slash:] if slash >= 0 else rest
+    return rest
 
 
 def _resolve(path: str, table_dir: str) -> str:
@@ -175,6 +194,11 @@ _MANIFEST_SCHEMA = {
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None,
          "field-id": 1},
+        # v2 inheritance fields: null means "inherit from the manifest list"
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
         {
             "name": "data_file",
             "field-id": 2,
@@ -185,6 +209,11 @@ _MANIFEST_SCHEMA = {
                     {"name": "content", "type": "int", "field-id": 134},
                     {"name": "file_path", "type": "string", "field-id": 100},
                     {"name": "file_format", "type": "string", "field-id": 101},
+                    # spec-REQUIRED even for unpartitioned tables: an empty
+                    # struct matching partition spec 0
+                    {"name": "partition", "field-id": 102,
+                     "type": {"type": "record", "name": "r102",
+                              "fields": []}},
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
@@ -202,9 +231,78 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
+        # v2-required sequence numbers and file/row counts (Java Iceberg's
+        # ManifestFile parser rejects lists without them)
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+
+def _iceberg_type(t) -> str:
+    """Arrow type -> Iceberg primitive type string (v2 spec table)."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    raise ValueError(f"no iceberg mapping for arrow type {t}")
+
+
+def _schema_from_parquet(path: str) -> tuple[dict, int]:
+    """Derive the Iceberg schema JSON (+ last-column-id) from a data file.
+    Field ids are assigned 1..N in file order (fresh table semantics)."""
+    import pyarrow.parquet as pq
+
+    arrow = pq.read_schema(path)
+    fields = []
+    for i, f in enumerate(arrow):
+        fields.append({
+            "id": i + 1,
+            "name": f.name,
+            "required": False,
+            "type": _iceberg_type(f.type),
+        })
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        len(fields),
+    )
+
+
+def _manifest_avro_meta(schema_json: dict) -> dict:
+    """Spec-required Avro file-metadata keys for a v2 data manifest."""
+    return {
+        "schema": json.dumps(schema_json),
+        "schema-id": "0",
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+        "content": "data",
+    }
 
 
 def export_iceberg_metadata(
@@ -242,28 +340,53 @@ def export_iceberg_metadata(
             "snapshots": [],
             "schemas": [],
             "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            # spec: partition field ids start at 1000; with no partition
+            # fields assigned yet, last-partition-id is 999
+            "last-partition-id": 999,
             "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
         }
     prior = meta.get("snapshots", [])
     snap_id = max((s["snapshot-id"] for s in prior), default=999) + 1
+    seq = int(meta.get("last-sequence-number", 0)) + 1
     entries = []
+    total_rows = 0
     for p in sorted(data_paths):
         p = os.path.abspath(p)
+        nrows = pq.read_metadata(p).num_rows
+        total_rows += nrows
         entries.append(
             {
                 "status": 1,
                 "snapshot_id": snap_id,
+                "sequence_number": None,       # inherited from the list
+                "file_sequence_number": None,  # inherited from the list
                 "data_file": {
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "record_count": pq.read_metadata(p).num_rows,
+                    "partition": {},
+                    "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(p),
                 },
             }
         )
+    # derive the table schema from the data files (fresh assignment only:
+    # appends to an existing table keep its recorded schema/column ids)
+    if not meta.get("schemas") and data_paths:
+        schema_json, last_col = _schema_from_parquet(
+            os.path.abspath(sorted(data_paths)[0])
+        )
+        meta["schemas"] = [schema_json]
+        meta["current-schema-id"] = 0
+        meta["last-column-id"] = last_col
     man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
-    write_avro(man_path, _MANIFEST_SCHEMA, entries)
+    man_meta = _manifest_avro_meta(
+        meta["schemas"][0] if meta.get("schemas") else
+        {"type": "struct", "schema-id": 0, "fields": []}
+    )
+    write_avro(man_path, _MANIFEST_SCHEMA, entries, extra_meta=man_meta)
     ml_path = os.path.join(mdir, f"snap-{snap_id}.avro")
     write_avro(
         ml_path,
@@ -274,21 +397,38 @@ def export_iceberg_metadata(
                 "manifest_length": os.path.getsize(man_path),
                 "partition_spec_id": 0,
                 "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
             }
         ],
+        extra_meta={"format-version": "2"},
     )
     meta["snapshots"] = prior + [
         {
             "snapshot-id": snap_id,
+            "sequence-number": seq,
             "timestamp-ms": timestamp_ms,
             "manifest-list": ml_path,
-            "summary": {"operation": "overwrite"},
+            "schema-id": int(meta.get("current-schema-id", 0)),
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+                "total-data-files": str(len(entries)),
+                "total-records": str(total_rows),
+            },
         }
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-updated-ms"] = timestamp_ms
-    meta["last-sequence-number"] = int(meta.get("last-sequence-number", 0)) + 1
+    meta["last-sequence-number"] = seq
     version = len(meta["snapshots"])
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
@@ -314,29 +454,52 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
     snapshot_ids = []
     timestamps = []
     base_ts = 1_700_000_000_000
+    schema_json = None
+    last_col = 0
     for si, dfs in enumerate(snapshots_rows):
         snap_id = 1000 + si
+        seq = si + 1
         ts = base_ts + si * 60_000
+        added_files = 0
+        added_rows = 0
         for df in dfs:
             fname = f"{uuid.uuid4().hex[:12]}.parquet"
             fpath = os.path.join(ddir, fname)
             tbl = pa.Table.from_pandas(df, preserve_index=False)
             pq.write_table(tbl, fpath)
+            if schema_json is None:
+                schema_json, last_col = _schema_from_parquet(fpath)
+            added_files += 1
+            added_rows += len(df)
             all_entries.append(
                 {
                     "status": 1,
                     "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
                         "file_path": fpath,
                         "file_format": "PARQUET",
+                        "partition": {},
                         "record_count": len(df),
                         "file_size_in_bytes": os.path.getsize(fpath),
                     },
                 }
             )
+        # files carried over from earlier snapshots are EXISTING (status 0)
+        # in this snapshot's manifest, not re-added
+        entries = [
+            dict(e, status=1 if e["snapshot_id"] == snap_id else 0)
+            for e in all_entries
+        ]
+        existing_files = len(entries) - added_files
+        existing_rows = sum(
+            e["data_file"]["record_count"] for e in entries if not e["status"]
+        )
         man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
-        write_avro(man_path, _MANIFEST_SCHEMA, list(all_entries))
+        write_avro(man_path, _MANIFEST_SCHEMA, entries,
+                   extra_meta=_manifest_avro_meta(schema_json))
         ml_path = os.path.join(mdir, f"snap-{snap_id}.avro")
         write_avro(
             ml_path,
@@ -347,15 +510,26 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
                     "manifest_length": os.path.getsize(man_path),
                     "partition_spec_id": 0,
                     "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": 1,
                     "added_snapshot_id": snap_id,
+                    "added_files_count": added_files,
+                    "existing_files_count": existing_files,
+                    "deleted_files_count": 0,
+                    "added_rows_count": added_rows,
+                    "existing_rows_count": existing_rows,
+                    "deleted_rows_count": 0,
                 }
             ],
+            extra_meta={"format-version": "2"},
         )
         snap_meta.append(
             {
                 "snapshot-id": snap_id,
+                "sequence-number": seq,
                 "timestamp-ms": ts,
                 "manifest-list": ml_path,
+                "schema-id": 0,
                 "summary": {"operation": "append"},
             }
         )
@@ -369,9 +543,14 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
         "last-updated-ms": timestamps[-1],
         "current-snapshot-id": snapshot_ids[-1],
         "snapshots": snap_meta,
-        "schemas": [],
+        "schemas": [schema_json] if schema_json else [],
+        "current-schema-id": 0,
+        "last-column-id": last_col,
         "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
     }
     version = len(snapshots_rows)
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:

@@ -60,6 +60,34 @@ def test_avro_container_roundtrip(tmp_path):
         assert read_avro(path) == records, codec
 
 
+def test_avro_named_type_behind_untaken_union_branch(tmp_path):
+    """A named type whose only DEFINITION sits behind a union branch not
+    taken by the first record must still resolve for later by-name
+    references (pre-walk registration; lazy-during-decode failed here).
+    Real Iceberg manifests from other writers hit this shape."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "maybe", "type": ["null", {
+                "type": "record",
+                "name": "com.example.Inner",
+                "fields": [{"name": "x", "type": "long"}],
+            }]},
+            {"name": "again", "type": ["null", "com.example.Inner"]},
+            {"name": "short_ref", "type": ["null", "Inner"]},
+        ],
+    }
+    records = [
+        # first record: definition branch NOT taken, reference branch taken
+        {"maybe": None, "again": {"x": 7}, "short_ref": None},
+        {"maybe": {"x": 1}, "again": None, "short_ref": {"x": 2}},
+    ]
+    path = str(tmp_path / "named.avro")
+    write_avro(path, schema, records, codec="null")
+    assert read_avro(path) == records
+
+
 def _fixture(tmp_path):
     tdir = str(tmp_path / "ice_table")
     info = write_iceberg_fixture(
@@ -185,3 +213,113 @@ def test_iceberg_deleted_entries_and_missing(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == [3, 4, 5]
     with pytest.raises(ValueError, match="snapshot .* not found"):
         data_files(tdir, snapshot_id=999999)
+
+
+def test_iceberg_v2_spec_conformance(tmp_path):
+    """Published tables carry every Iceberg v2 spec-REQUIRED field (the
+    closest thing to external-runtime interop this container allows — no
+    Iceberg jars, no pyiceberg wheel, no network for the DuckDB extension):
+
+    - TableMetadata: format-version/table-uuid/location/last-sequence-number
+      /last-updated-ms/last-column-id/schemas+current-schema-id/
+      partition-specs+default-spec-id/last-partition-id/sort-orders+
+      default-sort-order-id (Java TableMetadataParser rejects absences)
+    - snapshots: snapshot-id, sequence-number, timestamp-ms, manifest-list,
+      summary.operation
+    - manifest list entries: path/length/spec-id/content, sequence numbers,
+      added/existing/deleted file AND row counts
+    - manifest entries: status, data_file with content/file_path/
+      file_format/partition (required even when unpartitioned)/record_count
+      /file_size_in_bytes; every avro field carries its spec field-id
+    - manifest avro file-metadata: schema/partition-spec/format-version keys
+    """
+    from cuda_float_compress_spark.sources.avro import read_avro_meta
+    from cuda_float_compress_spark.sources.iceberg import (
+        export_iceberg_metadata,
+        load_table_metadata,
+    )
+
+    tdir = str(tmp_path / "conft")
+    write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"a": [1, 2], "s": ["x", "y"]})],
+            [pd.DataFrame({"a": [3], "s": ["z"]})],
+        ],
+    )
+    # also exercise the in-place export path on a fresh table
+    edir = str(tmp_path / "confe")
+    import os
+    os.makedirs(edir + "/data")
+    pd.DataFrame({"a": [9], "s": ["w"]}).to_parquet(edir + "/data/p.parquet")
+    export_iceberg_metadata(edir, [edir + "/data/p.parquet"], 1_700_000_000_000)
+
+    for tdir_i in (tdir, edir):
+        meta = load_table_metadata(tdir_i)
+        for key in (
+            "format-version", "table-uuid", "location",
+            "last-sequence-number", "last-updated-ms", "last-column-id",
+            "schemas", "current-schema-id", "partition-specs",
+            "default-spec-id", "last-partition-id", "sort-orders",
+            "default-sort-order-id", "current-snapshot-id", "snapshots",
+        ):
+            assert key in meta, (tdir_i, key)
+        assert meta["format-version"] == 2
+        schema = meta["schemas"][meta["current-schema-id"]]
+        assert schema["type"] == "struct" and schema["schema-id"] == 0
+        assert [f["name"] for f in schema["fields"]] == ["a", "s"]
+        assert [f["type"] for f in schema["fields"]] == ["long", "string"]
+        ids = [f["id"] for f in schema["fields"]]
+        assert ids == [1, 2] and meta["last-column-id"] == max(ids)
+        assert meta["partition-specs"][0] == {"spec-id": 0, "fields": []}
+
+        for snap in meta["snapshots"]:
+            for key in ("snapshot-id", "sequence-number", "timestamp-ms",
+                        "manifest-list", "summary"):
+                assert key in snap, key
+            assert "operation" in snap["summary"]
+            ml = read_avro(snap["manifest-list"])
+            assert ml
+            for mf in ml:
+                for key in (
+                    "manifest_path", "manifest_length", "partition_spec_id",
+                    "content", "sequence_number", "min_sequence_number",
+                    "added_snapshot_id", "added_files_count",
+                    "existing_files_count", "deleted_files_count",
+                    "added_rows_count", "existing_rows_count",
+                    "deleted_rows_count",
+                ):
+                    assert key in mf, key
+                assert mf["sequence_number"] == snap["sequence-number"]
+                assert mf["manifest_length"] == os.path.getsize(
+                    mf["manifest_path"]
+                )
+                entries = read_avro(mf["manifest_path"])
+                n_added = sum(1 for e in entries if e["status"] == 1)
+                n_existing = sum(1 for e in entries if e["status"] == 0)
+                assert n_added == mf["added_files_count"]
+                assert n_existing == mf["existing_files_count"]
+                assert sum(
+                    e["data_file"]["record_count"] for e in entries
+                    if e["status"] == 1
+                ) == mf["added_rows_count"]
+                for e in entries:
+                    df = e["data_file"]
+                    for key in ("content", "file_path", "file_format",
+                                "partition", "record_count",
+                                "file_size_in_bytes"):
+                        assert key in df, key
+                    assert df["partition"] == {}  # unpartitioned struct
+                # spec-required avro file-metadata keys + field-ids
+                ameta = read_avro_meta(mf["manifest_path"])
+                for key in ("schema", "partition-spec", "format-version"):
+                    assert key in ameta, key
+                assert ameta["format-version"] == b"2"
+                embedded = json.loads(ameta["avro.schema"])
+                top_ids = {f.get("field-id") for f in embedded["fields"]}
+                assert {0, 1, 2, 3, 4} <= top_ids  # status..data_file
+                df_schema = next(
+                    f for f in embedded["fields"] if f["name"] == "data_file"
+                )["type"]
+                df_ids = {f.get("field-id") for f in df_schema["fields"]}
+                assert {100, 101, 102, 103, 104, 134} <= df_ids
