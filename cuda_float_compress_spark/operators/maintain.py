@@ -177,17 +177,31 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     old = f"{out_dir}/blocks_vacuum_old"
     shutil.rmtree(tmp, ignore_errors=True)
     kept.write.mode("overwrite").parquet(tmp)
+    # sentinel: proves OUR rewrite is the dir that ends up at blocks/. A
+    # concurrent repair_vacuum can win the race in either direction —
+    # completing the swap (tmp -> blocks: sentinel present) or rolling it
+    # BACK when _SUCCESS markers are disabled (old -> blocks: sentinel
+    # absent, vacuum did NOT take effect). Underscore prefix = ignored by
+    # parquet readers, like _SUCCESS.
+    sentinel = f"_vacuum_{uuid.uuid4().hex[:12]}"
+    with open(os.path.join(tmp, sentinel), "w"):
+        pass
     os.rename(blocks_dir, old)
     try:
         os.rename(tmp, blocks_dir)
     except OSError:
-        # A concurrent reader's repair_vacuum (decode path) can complete the
-        # swap between our two renames — it sees old+tmp(_SUCCESS), renames
-        # tmp into place and deletes old/tmp, making our rename ENOENT. The
-        # table state is exactly what we wanted; only a genuinely missing
-        # blocks dir is a real failure.
         if not os.path.isdir(blocks_dir):
             raise
+        if not os.path.exists(os.path.join(blocks_dir, sentinel)):
+            # the racing repairer ROLLED BACK (tmp lacked _SUCCESS in its
+            # view): the table still holds the un-vacuumed blocks, so the
+            # stats this call computed describe a vacuum that never landed
+            raise RuntimeError(
+                "vacuum swap was rolled back by a concurrent repair_vacuum "
+                "(blocks dir restored from the pre-vacuum copy); re-run "
+                f"vacuum on {out_dir}"
+            )
+    os.remove(os.path.join(blocks_dir, sentinel))
     shutil.rmtree(old, ignore_errors=True)
     return {
         "rows_before": rows_before,

@@ -510,6 +510,62 @@ def test_vacuum_survives_reader_repair_race(spark, tmp_path, scratch, monkeypatc
     assert all(r["ok"] for r in rep)
 
 
+def test_vacuum_detects_rollback_race(spark, tmp_path, scratch, monkeypatch):
+    """The OTHER direction of the repair race: with _SUCCESS markers absent
+    (e.g. marksuccessfuljobs=false), a concurrent repair_vacuum ROLLS BACK
+    (old -> blocks). The live vacuum's swallowed-ENOENT path previously
+    reported rows_before/rows_after stats for a vacuum that never landed;
+    the sentinel check must turn that into a loud RuntimeError."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import maintain
+
+    src = str(tmp_path / "rb_src")
+    generate_webpages_df(spark, 400, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False,
+                        target_rows_per_split=200)
+    blocks_dir = f"{scratch}/blocks"
+    blocks = spark.read.parquet(blocks_dir)
+    n_total = blocks.count() * 2
+    blocks.withColumn("run_id", F.lit("crashed")).write.mode("append").parquet(
+        blocks_dir
+    )
+
+    real_rename = os.rename
+    state = {"in_repair": False, "raced": False}
+
+    def racing_rename(a, b):
+        if (not state["in_repair"] and a == f"{scratch}/blocks_vacuum_tmp"
+                and b == blocks_dir):
+            state["in_repair"] = True
+            try:
+                # the repairer's view: tmp has no _SUCCESS -> roll back
+                success = os.path.join(a, "_SUCCESS")
+                if os.path.exists(success):
+                    os.remove(success)
+                assert maintain.repair_vacuum(scratch) == "rolled_back"
+                state["raced"] = True
+            finally:
+                state["in_repair"] = False
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    with _pytest.raises(RuntimeError, match="rolled back"):
+        maintain.vacuum(spark, scratch)
+    assert state["raced"], "race was not exercised"
+    # the table really is un-vacuumed (stale blocks still present)...
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert spark.read.parquet(blocks_dir).count() == n_total
+    shutil.rmtree(f"{scratch}/blocks_vacuum_tmp", ignore_errors=True)
+    # ...and a re-run (as the error message instructs) completes it
+    stats = maintain.vacuum(spark, scratch)
+    assert stats["rows_after"] == n_total // 2
+    assert spark.read.parquet(blocks_dir).count() == n_total // 2
+
+
 def test_decode_parts_subset(spark, tmp_path, scratch):
     src = str(tmp_path / "ps_src")
     generate_webpages_df(spark, 1000, partitions=4).write.parquet(src)
