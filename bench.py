@@ -54,38 +54,57 @@ BENCH_SPLIT_ROWS = int(os.environ.get("BENCH_SPLIT_ROWS", "16384"))
 PROBE_HEALTHY_GBPS = float(os.environ.get("BENCH_PROBE_HEALTHY", "0.55"))
 
 
-def host_probe(seconds: float = 0.4) -> dict:
-    """1-core decode-kernel health probe: encode a deterministic ~5 MB text
-    chunk once with the engine's own codec path, then time repeated decodes
-    (zstd + Arrow assembly — the same stages as the real kernel floor).
-    Calibrated healthy on this host: ~0.87-0.92 GB/s; pathology halves it."""
+_PROBE_CHUNKS: list | None = None
+
+
+def host_probe(seconds: float = 0.45) -> dict:
+    """1-core decode-kernel health probe: encode a deterministic ~40 MB text
+    payload once (8 chunks, cached) with the engine's own codec path, then
+    time repeated decodes (zstd + Arrow assembly — the same stages as the
+    real kernel floor). The working set deliberately exceeds L3: a
+    cache-resident probe read 1.8x higher than the kernel floor during a
+    bus-contended window and missed the pathology entirely. Calibrated on
+    this host: healthy ~0.75-0.95 GB/s; the documented pathology halves
+    the floor (0.27-0.3 band), so the 0.55 default threshold separates
+    them."""
     import numpy as np
     import pyarrow as pa
 
     from cuda_float_compress_spark.operators import chunks as Ch
 
-    rng = np.random.default_rng(12345)
-    words = ["the", "quick", "brown", "fox", "compression", "spark",
-             "engine", "page", "html", "content", "data", "scale"]
-    texts = []
-    for _ in range(4000):
-        k = int(rng.integers(40, 400))
-        texts.append(
-            (" ".join(words[int(j)] for j in rng.integers(0, len(words), k))
-             ).encode()
-        )
-    arr = pa.array(texts, type=pa.large_binary())
-    raw = sum(len(t) for t in texts)
-    codec, payload, params, n, n_nulls = Ch.encode_column_chunk(arr, "binary")
-    # one unmeasured decode warms allocators/caches
-    Ch.decode_column_chunk(payload, codec, params, n, n_nulls, "binary")
-    t0 = time.perf_counter()
-    iters = 0
-    while time.perf_counter() - t0 < seconds:
+    global _PROBE_CHUNKS
+    if _PROBE_CHUNKS is None:
+        rng = np.random.default_rng(12345)
+        words = ["the", "quick", "brown", "fox", "compression", "spark",
+                 "engine", "page", "html", "content", "data", "scale"]
+        _PROBE_CHUNKS = []
+        for _ in range(8):  # 8 distinct ~5 MB chunks = ~40 MB working set
+            texts = []
+            for _ in range(4000):
+                k = int(rng.integers(40, 400))
+                texts.append(
+                    (" ".join(words[int(j)]
+                              for j in rng.integers(0, len(words), k))
+                     ).encode()
+                )
+            arr = pa.array(texts, type=pa.large_binary())
+            raw = sum(len(t) for t in texts)
+            _PROBE_CHUNKS.append(
+                (raw, Ch.encode_column_chunk(arr, "binary"))
+            )
+    # one unmeasured pass warms allocators/caches
+    for _, (codec, payload, params, n, n_nulls) in _PROBE_CHUNKS:
         Ch.decode_column_chunk(payload, codec, params, n, n_nulls, "binary")
-        iters += 1
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() - t0 < seconds:
+        for raw, (codec, payload, params, n, n_nulls) in _PROBE_CHUNKS:
+            Ch.decode_column_chunk(
+                payload, codec, params, n, n_nulls, "binary"
+            )
+            done += raw
     dt = time.perf_counter() - t0
-    gbps = raw * iters / dt / 1e9
+    gbps = done / dt / 1e9
     return {
         "gb_per_sec": round(gbps, 4),
         "healthy_min": PROBE_HEALTHY_GBPS,
