@@ -3,9 +3,10 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 REAL decoders (pure numpy, no external libs): uncompressed 24-bit BMP,
 binary PPM (P6), PCM-16 WAV, 8-bit PNG (zlib + all five scanline filters),
-and baseline + progressive JPEG (huffman + IDCT + chroma upsample —
-operators/jpeg.py).
-Remaining compressed formats (WebP/OGG/WebM) would need
+baseline + progressive JPEG (huffman + IDCT + chroma upsample —
+operators/jpeg.py), and lossless WebP (VP8L: prefix codes, LZ77, color
+cache, all four transforms — operators/webp.py).
+Remaining compressed formats (lossy-VP8 WebP, AVIF, OGG/WebM) would need
 codec libraries not present in this container; for those ``decode_image``
 raises NotImplementedError unless ``fake=True``, in which case a
 deterministic fake decoder stands in so the Spark-side plumbing — schema,
@@ -359,10 +360,11 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array. REAL for BMP 24-bit,
-    PPM P6, PNG (8-bit, pure numpy+zlib — see decode_png), and baseline +
-    progressive JPEG (pure numpy huffman+IDCT — see operators/jpeg.py);
-    WebP needs codec libraries not present in this container — pass
-    fake=True for the deterministic stand-in (plumbing tests)."""
+    PPM P6, PNG (8-bit, pure numpy+zlib — see decode_png), baseline +
+    progressive JPEG (pure numpy huffman+IDCT — see operators/jpeg.py),
+    and lossless WebP (VP8L, pure numpy — see operators/webp.py); lossy
+    WebP (VP8) would need the VP8 intra decoder — pass fake=True for the
+    deterministic stand-in (plumbing tests)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -373,10 +375,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from cuda_float_compress_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from cuda_float_compress_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     if not fake:
         raise NotImplementedError(
-            "WebP decoding requires an imaging library not present in "
-            "this container; use BMP/PPM/PNG/JPEG payloads or fake=True"
+            "unrecognized image format (lossy-WebP/AVIF/... would need "
+            "codec libraries not present in this container); use "
+            "BMP/PPM/PNG/JPEG/lossless-WebP payloads or fake=True"
         )
     # deterministic fake: dimensions + pixels derived from the byte content
     h = 4 + (len(payload) % 13)

@@ -259,3 +259,31 @@ def test_jpeg_progressive_equals_baseline_generated(h, w, seed, subsample,
     prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality,
                                                    subsample=subsample))
     assert np.array_equal(base, prog), (h, w, subsample, quality, gray)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    st.sampled_from([None, "subtract_green", "predictor", "color",
+                     "palette"]),
+    st.integers(min_value=0, max_value=8),    # cache bits (0 = off)
+    st.booleans(),                            # lz77
+    st.integers(min_value=1, max_value=256),  # distinct colors to draw from
+)
+def test_webp_lossless_roundtrip_generated(h, w, seed, transform,
+                                           cache_bits, lz77, ncolors):
+    """decode_webp(encode_webp_lossless(img)) is the identity for random
+    images across transforms, color-cache sizes, and LZ77 settings —
+    bit-exact, since VP8L is lossless."""
+    from cuda_float_compress_spark.operators import webp as W
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, ncolors, (h, w))]
+    enc = W.encode_webp_lossless(
+        img, transform=transform, cache_bits=cache_bits, use_lz77=lz77
+    )
+    assert np.array_equal(W.decode_webp(enc), img), (
+        h, w, transform, cache_bits, lz77, ncolors)

@@ -706,6 +706,150 @@ def test_jpeg_progressive_equals_baseline():
             pass
 
 
+def test_webp_lossless_roundtrip_all_paths():
+    """VP8L decode recovers pixels EXACTLY across every feature the encoder
+    twin can emit: all four transforms (predictor/color/subtract-green/
+    palette incl. sub-byte packing), color cache, LZ77 backrefs (both
+    neighborhood plane codes and absolute distances), simple and normal
+    prefix codes."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (16, 13, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    tiny = rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)
+    for img in (noise, gray, tiny):
+        want = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, 2)
+        for tr in (None, "subtract_green", "predictor", "color"):
+            for cache in (0, 6):
+                enc = W.encode_webp_lossless(
+                    img, transform=tr, cache_bits=cache, use_lz77=True
+                )
+                assert np.array_equal(W.decode_webp(enc), want), (
+                    img.shape, tr, cache)
+    # palette at each packing width (2 -> 8px/byte, 4 -> 4, 13 -> 2, 200 -> 1)
+    for ncolors, shape in [(2, (9, 9)), (4, (5, 17)), (13, (8, 30)),
+                           (200, (30, 30))]:
+        vals = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        img = vals[rng.integers(0, ncolors, shape)]
+        enc = W.encode_webp_lossless(img, transform="palette")
+        assert np.array_equal(W.decode_webp(enc), img), (ncolors, shape)
+    # LZ77-heavy flat image exercises vertical (dist=width) and horizontal
+    # (dist=1) plane codes + cache hits together
+    flat = np.tile(rng.integers(0, 256, (1, 10, 3), dtype=np.uint8),
+                   (12, 1, 1))
+    enc = W.encode_webp_lossless(flat, cache_bits=4, use_lz77=True)
+    assert np.array_equal(W.decode_webp(enc), flat)
+    # decode_image dispatches on the RIFF/WEBP magic
+    assert np.array_equal(multimodal.decode_image(enc), flat)
+
+
+def test_webp_meta_prefix_codes():
+    """Hand-built VP8L stream with META prefix codes: a 2-tile entropy
+    image routes the left/right halves to different code groups; the
+    decoder must pick the group per tile (the encoder twin never emits
+    meta codes, so this path needs a crafted stream)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    h, w = 4, 8
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    argb = (np.full((h, w), 0xFF000000, np.uint32)
+            | (img[:, :, 0].astype(np.uint32) << 16)
+            | (img[:, :, 1].astype(np.uint32) << 8)
+            | img[:, :, 2].astype(np.uint32)).reshape(-1)
+
+    bw = W._LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 4)   # alpha hint + version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(1, 1)   # META prefix codes present
+    meta_bits = 2    # 4-pixel tiles -> 2x1 tile grid
+    bw.write(meta_bits - 2, 3)
+    # meta image: 2 pixels whose (red<<8|green) are group ids 0 and 1
+    meta_px = np.array([0xFF000000, 0xFF000100], np.uint32)
+    W._encode_image(bw, meta_px, 2, top_level=False)
+    # two code groups, each trained on its half's pixels
+    halves = [argb.reshape(h, w)[:, :4].reshape(-1),
+              argb.reshape(h, w)[:, 4:].reshape(-1)]
+    writers = []
+    for half in halves:
+        freqs = [dict() for _ in range(4)]
+        for px in half:
+            for fi, sh in ((0, 8), (1, 16), (2, 0), (3, 24)):
+                v = (int(px) >> sh) & 0xFF
+                freqs[fi][v] = freqs[fi].get(v, 0) + 1
+        cws = [
+            W._CodeWriter(freqs[0], 256 + 24),
+            W._CodeWriter(freqs[1], 256),
+            W._CodeWriter(freqs[2], 256),
+            W._CodeWriter(freqs[3], 256),
+            W._CodeWriter({0: 1}, 40),
+        ]
+        writers.append(cws)
+        for cw in cws:
+            cw.write_header(bw)
+    for pos, px in enumerate(argb):
+        x = pos % w
+        cws = writers[x // 4]
+        px = int(px)
+        cws[0].write_symbol(bw, (px >> 8) & 0xFF)
+        cws[1].write_symbol(bw, (px >> 16) & 0xFF)
+        cws[2].write_symbol(bw, px & 0xFF)
+        cws[3].write_symbol(bw, (px >> 24) & 0xFF)
+    bw.flush()
+    data = bytes(bw.out)
+    chunk = b"VP8L" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    payload = b"RIFF" + _struct.pack("<I", len(riff)) + riff
+    assert np.array_equal(W.decode_webp(payload), img)
+
+
+def test_webp_rejects_corrupt_and_out_of_profile():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    good = W.encode_webp_lossless(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        W.decode_webp(b"not even riff")
+    with _pytest.raises(ValueError):
+        W.decode_webp(good[:16])  # truncated container
+    with _pytest.raises(ValueError):
+        W.decode_webp(good[:-3])  # truncated bitstream
+    # lossy VP8 refuses with the honest exception type
+    lossy = (b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(lossy)
+    # hostile dims rejected before allocation (14-bit fields maxed)
+    bw = W._LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write((1 << 14) - 1, 14)
+    bw.write((1 << 14) - 1, 14)
+    bw.write(0, 4)
+    bw.flush()
+    data = bytes(bw.out) + b"\x00" * 8
+    hostile = (b"RIFF" + _struct.pack("<I", 12 + len(data)) + b"WEBP"
+               + b"VP8L" + _struct.pack("<I", len(data)) + data)
+    with _pytest.raises(ValueError, match="out of range"):
+        W.decode_webp(hostile)
+
+
 def test_jpeg_rejects_corrupt_and_out_of_profile():
     import struct as _struct
 
