@@ -195,13 +195,19 @@ def _kernel_decode_floor(out_dir: str) -> dict:
                      "raw_bytes", "payload"],
             use_threads=False,
         )
+        # one bulk conversion per column per file, not per-row scalar
+        # indexing (chunked-array scalar access was ~9% of the floor)
+        cols = {
+            name: tbl.column(name).to_pylist()
+            for name in ("payload", "codec", "params", "n", "n_nulls",
+                         "ptype", "raw_bytes")
+        }
         for i in range(tbl.num_rows):
             Ch.decode_column_chunk(
-                tbl.column("payload")[i].as_py(), tbl.column("codec")[i].as_py(),
-                tbl.column("params")[i].as_py(), tbl.column("n")[i].as_py(),
-                tbl.column("n_nulls")[i].as_py(), tbl.column("ptype")[i].as_py(),
+                cols["payload"][i], cols["codec"][i], cols["params"][i],
+                cols["n"][i], cols["n_nulls"][i], cols["ptype"][i],
             )
-            raw += tbl.column("raw_bytes")[i].as_py()
+            raw += cols["raw_bytes"][i]
     sec = time.perf_counter() - t0
     return {"sec": round(sec, 3), "gb_per_sec": round(raw / sec / 1e9, 4)}
 
