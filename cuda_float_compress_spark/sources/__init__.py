@@ -1,11 +1,14 @@
 """Sources & sinks: parquet-first table registry + Iceberg read support.
 
 The testdata corpus (TESTDATA.md) is parquet; production targets an
-Iceberg-style catalog. Catalog-SERVICE reads still need the Iceberg jars
-(not in this container), but on-disk Iceberg tables read WITHOUT them via
-the pure-Python metadata walker in ``sources.iceberg`` (metadata JSON ->
+Iceberg-style catalog. On-disk Iceberg tables read WITHOUT jars via the
+pure-Python metadata walker in ``sources.iceberg`` (metadata JSON ->
 avro manifests -> parquet scan, with snapshot/time-travel selection) —
-``read_iceberg`` falls back to it automatically when given a path.
+``read_iceberg`` falls back to it automatically when given a path — and
+catalog-SERVICE tables read through the pure-Python REST catalog client
+(``sources.iceberg_rest.read_iceberg_rest``: config handshake, bearer
+auth, LoadTableResult -> the same manifest walk). Hive/Glue catalogs
+still need the Iceberg runtime jars (not in this container).
 """
 
 from __future__ import annotations
@@ -18,6 +21,10 @@ from cuda_float_compress_spark.sources.iceberg import (  # noqa: F401
     read_iceberg_dir,
     snapshots as iceberg_snapshots,
     write_iceberg_fixture,
+)
+from cuda_float_compress_spark.sources.iceberg_rest import (  # noqa: F401
+    RestCatalog,
+    read_iceberg_rest,
 )
 
 TPCH_TABLES = (
@@ -53,8 +60,10 @@ def read_iceberg(
     except Exception as e:  # pragma: no cover - container has no Iceberg jars
         raise NotImplementedError(
             "Iceberg catalog not configured in this runtime; add "
-            "iceberg-spark-runtime to spark.jars.packages and a catalog conf "
-            "(filesystem table paths work without it). "
+            "iceberg-spark-runtime to spark.jars.packages and a catalog "
+            "conf, or use read_iceberg_rest(uri, namespace, table) for a "
+            "REST catalog (no jars; filesystem table paths also work "
+            "without them). "
             f"Underlying error: {e}"
         ) from e
 

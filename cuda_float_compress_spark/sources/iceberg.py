@@ -139,6 +139,13 @@ def _select_snapshot(meta: dict, snapshot_id=None, as_of_ms=None) -> dict:
 def data_files(table_dir: str, snapshot_id=None, as_of_ms=None) -> list[str]:
     """Live parquet data-file paths of the selected snapshot."""
     meta = load_table_metadata(table_dir)
+    return data_files_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
+
+
+def data_files_from_metadata(meta: dict, table_dir: str, snapshot_id=None,
+                             as_of_ms=None) -> list[str]:
+    """Like :func:`data_files`, from an in-memory TableMetadata dict (the
+    shape a REST catalog's LoadTableResult carries — sources/iceberg_rest)."""
     snap = _select_snapshot(meta, snapshot_id, as_of_ms)
     if "manifest-list" in snap:
         manifest_files = read_avro(_resolve(snap["manifest-list"], table_dir))

@@ -323,3 +323,100 @@ def test_iceberg_v2_spec_conformance(tmp_path):
                 )["type"]
                 df_ids = {f.get("field-id") for f in df_schema["fields"]}
                 assert {100, 101, 102, 103, 104, 134} <= df_ids
+
+
+def test_iceberg_rest_catalog_read(spark, tmp_path):
+    """REST catalog read path against an in-process mock implementing the
+    public REST catalog spec's JSON shapes: config handshake (prefix
+    discovery), bearer-token auth, namespace/table listing, LoadTableResult
+    with embedded metadata AND the metadata-location-only variant, snapshot
+    + timestamp time travel, and catalog-error surfacing."""
+    import glob as _glob
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from cuda_float_compress_spark.sources.iceberg import load_table_metadata
+    from cuda_float_compress_spark.sources.iceberg_rest import (
+        RestCatalog,
+        read_iceberg_rest,
+    )
+
+    tdir, info = _fixture(tmp_path)
+    meta = load_table_metadata(tdir)
+    meta_path = sorted(_glob.glob(f"{tdir}/metadata/*.metadata.json"))[-1]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/v1/config"):
+                return self._json(200, {"defaults": {},
+                                        "overrides": {"prefix": "ws"}})
+            if self.headers.get("Authorization") != "Bearer sekrit":
+                return self._json(401, {"error": {
+                    "message": "missing bearer token", "code": 401}})
+            if self.path == "/v1/ws/namespaces":
+                return self._json(200, {"namespaces": [["web"]]})
+            if self.path == "/v1/ws/namespaces/web/tables":
+                return self._json(200, {"identifiers": [
+                    {"namespace": ["web"], "name": "pages"},
+                    {"namespace": ["web"], "name": "pages_by_location"},
+                ]})
+            if self.path == "/v1/ws/namespaces/web/tables/pages":
+                return self._json(200, {"metadata-location": meta_path,
+                                        "metadata": meta})
+            if self.path == "/v1/ws/namespaces/web/tables/pages_by_location":
+                # the variant real catalogs may return: location only
+                return self._json(200, {"metadata-location": meta_path})
+            return self._json(404, {"error": {
+                "message": "table not found", "code": 404}})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        uri = f"http://127.0.0.1:{port}"
+        cat = RestCatalog(uri, token="sekrit")
+        assert cat.prefix == "ws"  # discovered via /v1/config
+        assert cat.list_namespaces() == [("web",)]
+        assert cat.list_tables("web") == ["pages", "pages_by_location"]
+
+        cur = read_iceberg_rest(spark, uri, "web", "pages", token="sekrit")
+        assert sorted(r["id"] for r in cur.collect()) == [1, 2, 3, 4, 5]
+        old = read_iceberg_rest(
+            spark, uri, "web", "pages", token="sekrit",
+            snapshot_id=info["snapshot_ids"][0],
+        )
+        assert sorted(r["id"] for r in old.collect()) == [1, 2]
+        ts = read_iceberg_rest(
+            spark, uri, "web", "pages", token="sekrit",
+            as_of_ms=info["timestamps_ms"][0],
+        )
+        assert sorted(r["id"] for r in ts.collect()) == [1, 2]
+        # metadata-location-only LoadTableResult
+        loc = read_iceberg_rest(
+            spark, uri, "web", "pages_by_location", token="sekrit"
+        )
+        assert loc.count() == 5
+        # auth + error surfacing keep the ValueError contract
+        with pytest.raises(ValueError, match="401"):
+            read_iceberg_rest(spark, uri, "web", "pages", token="wrong")
+        with pytest.raises(ValueError, match="404"):
+            read_iceberg_rest(spark, uri, "web", "nope", token="sekrit")
+        with pytest.raises(ValueError, match="unreachable"):
+            RestCatalog("http://127.0.0.1:1", prefix="x").load_table(
+                "a", "b")
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
