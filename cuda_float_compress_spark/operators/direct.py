@@ -33,7 +33,8 @@ from cuda_float_compress_spark.operators.encode import (
     completed_parts,
 )
 
-SPLITS_SCHEMA = "part_id int, file string, rg_start int, rg_end int"
+SPLITS_SCHEMA = ("part_id int, file string, rg_start int, rg_end int, "
+                 "row_start bigint, row_end bigint, est_bytes bigint")
 
 
 def _to_us_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
@@ -113,18 +114,33 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols)
     arrow_schema = pa.schema([pa.field(c, _STD_ARROW[p]) for c, p in cols])
 
-    files = sorted(glob.glob(f"{out_dir}/blocks/*.parquet"))
-    files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        max(len(files), 1)
+    # one task per blocks file, LARGEST FIRST: raw sizes per split vary with
+    # document lengths (bench table: 5x file-size skew), and Spark schedules
+    # partitions in index order — big-file-first is LPT scheduling, so the
+    # tail task is a small file instead of the biggest one. parallelize
+    # preserves element->partition order (repartition would shuffle it away).
+    files = sorted(
+        glob.glob(f"{out_dir}/blocks/*.parquet"),
+        key=lambda f: -os.path.getsize(f),
+    )
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(f,) for f in files], max(len(files), 1)
+        ),
+        "file string",
     )
 
     def decode_file(batches):
         for batch in batches:
             for row in batch.to_pylist():
-                tbl = pq.read_table(
-                    row["file"],
+                # mmap + single-threaded: tasks already saturate the
+                # cores; pyarrow's intra-read threads only thrash here
+                tbl = pq.ParquetFile(
+                    row["file"], memory_map=True, buffer_size=0
+                ).read(
                     columns=["part_id", "chunk_id", "col", "codec", "n",
                              "n_nulls", "params", "run_id", "payload"],
+                    use_threads=False,
                 )
                 part = tbl.column("part_id").to_numpy(zero_copy_only=False)
                 chunk = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
@@ -176,9 +192,20 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     return decoded
 
 
-def plan_splits(input_dir: str, target_rows_per_split: int = 131_072) -> list[tuple]:
+def plan_splits(input_dir: str, target_rows_per_split: int = 131_072,
+                target_bytes_per_split: int | None = None) -> list[tuple]:
     """(part_id, file, rg_start, rg_end) over all parquet files, grouping
-    consecutive row groups up to the target. Driver-side metadata only."""
+    consecutive row groups up to the target. Driver-side metadata only.
+
+    Splits close on EITHER cap: rows, or uncompressed bytes (row-group
+    ``total_byte_size`` from the parquet footers). Row-count-only splits
+    skew when document lengths vary — the bench table showed 5x
+    raw-byte spread across equal-row splits, which makes the straggler
+    task 5x the median at decode too. Default byte cap = 16x the row cap
+    at ~64 B/row, i.e. row-dominated for narrow tables, byte-dominated
+    for long-document ones; at 100 TB size primarily by bytes."""
+    if target_bytes_per_split is None:
+        target_bytes_per_split = max(target_rows_per_split * 64, 1 << 24)
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     splits = []
     pid = 0
@@ -186,12 +213,38 @@ def plan_splits(input_dir: str, target_rows_per_split: int = 131_072) -> list[tu
         md = pq.ParquetFile(f).metadata
         rg = 0
         while rg < md.num_row_groups:
-            rows = 0
-            start = rg
-            while rg < md.num_row_groups and rows < target_rows_per_split:
-                rows += md.row_group(rg).num_rows
+            rg_rows = md.row_group(rg).num_rows
+            rg_bytes = md.row_group(rg).total_byte_size
+            if rg_bytes > target_bytes_per_split * 3 // 2 and rg_rows > 1:
+                # one oversized row group (writers that never flushed):
+                # subdivide by ROW RANGE — the encode task slices the
+                # streamed batches, so no task carries k x the target
+                k = min(-(-rg_bytes // target_bytes_per_split), rg_rows)
+                per = -(-rg_rows // k)
+                start_row = 0
+                while start_row < rg_rows:
+                    end_row = min(start_row + per, rg_rows)
+                    splits.append((
+                        pid, f, rg, rg + 1, start_row, end_row,
+                        rg_bytes * (end_row - start_row) // rg_rows,
+                    ))
+                    pid += 1
+                    start_row = end_row
                 rg += 1
-            splits.append((pid, f, start, rg))
+                continue
+            rows = 0
+            nbytes = 0
+            start = rg
+            while (rg < md.num_row_groups and rows < target_rows_per_split
+                   and nbytes < target_bytes_per_split):
+                rows += md.row_group(rg).num_rows
+                nbytes += md.row_group(rg).total_byte_size
+                rg += 1
+                if (rg < md.num_row_groups
+                        and md.row_group(rg).total_byte_size
+                        > target_bytes_per_split * 3 // 2):
+                    break  # let the oversized row group get its own splits
+            splits.append((pid, f, start, rg, -1, -1, nbytes))
             pid += 1
     return splits
 
@@ -208,6 +261,7 @@ def encode_table_direct(
     run_id: str | None = None,
     metrics: EngineMetrics | None = None,
     target_rows_per_split: int = 131_072,
+    target_bytes_per_split: int | None = None,
     profile: str = "ratio",
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -216,7 +270,8 @@ def encode_table_direct(
     t_start = time.time()
 
     with metrics.stage("plan"):
-        splits = plan_splits(input_dir, target_rows_per_split)
+        splits = plan_splits(input_dir, target_rows_per_split,
+                             target_bytes_per_split)
         done = set(completed_parts(spark, out_dir)) if resume else set()
         todo = [s for s in splits if s[0] not in done]
 
@@ -228,13 +283,23 @@ def encode_table_direct(
                 for row in batch.to_pylist():
                     pf = pq.ParquetFile(row["file"])
                     part_id = row["part_id"]
+                    row_start, row_end = row["row_start"], row["row_end"]
                     chunk_id = 0
                     buf, buf_rows, buf_bytes = [], 0, 0
+                    offset = 0  # rows streamed so far within the rg range
                     for rb in pf.iter_batches(
                         batch_size=chunk_rows,
                         row_groups=range(row["rg_start"], row["rg_end"]),
                         columns=columns,
                     ):
+                        if row_start >= 0:  # sub-row-group split: clip the
+                            lo = max(row_start - offset, 0)  # batch to the
+                            hi = min(row_end - offset, rb.num_rows)  # range
+                            offset += rb.num_rows
+                            if hi <= lo:
+                                continue
+                            if (lo, hi) != (0, rb.num_rows):
+                                rb = rb.slice(lo, hi - lo)
                         rb = _to_us_batch(rb)
                         buf.append(rb)
                         buf_rows += rb.num_rows
@@ -252,8 +317,14 @@ def encode_table_direct(
                             overrides, acc, run_id, profile,
                         )
 
-        splits_df = spark.createDataFrame(todo, SPLITS_SCHEMA).repartition(
-            max(len(todo), 1)
+        # biggest split first (LPT): document-length skew puts up to ~5x
+        # byte spread across equal-row splits; with tasks ~ cores the
+        # straggler must not be the last-scheduled. parallelize preserves
+        # element->partition order (repartition would scramble it).
+        todo = sorted(todo, key=lambda s: -s[6])
+        splits_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(todo, max(len(todo), 1)),
+            SPLITS_SCHEMA,
         )
         blocks = splits_df.mapInArrow(encode_split, schema=BLOCKS_SCHEMA)
         with metrics.stage("encode_write"):

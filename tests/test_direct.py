@@ -18,6 +18,46 @@ def test_plan_splits_covers_all_rows(spark, tmp_path):
     assert [s[0] for s in splits] == list(range(len(splits)))
 
 
+def test_plan_splits_subdivides_oversized_row_group(spark, tmp_path, scratch):
+    """A single giant row group (a writer that never flushed) must not
+    become one straggler task: plan_splits subdivides it by ROW RANGE when
+    its bytes exceed 1.5x the target, and the sliced encode stays
+    bit-identical."""
+    src = str(tmp_path / "big_rg")
+    # one file, ONE row group (coalesce + big parquet block size)
+    generate_webpages_df(spark, 4000, partitions=8).coalesce(1).write.option(
+        "parquet.block.size", 1 << 30
+    ).parquet(src)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    f = _glob.glob(f"{src}/*.parquet")[0]
+    md = _pq.ParquetFile(f).metadata
+    assert md.num_row_groups == 1
+    rg_bytes = md.row_group(0).total_byte_size
+    target = rg_bytes // 4
+    splits = plan_splits(src, target_rows_per_split=10**9,
+                         target_bytes_per_split=target)
+    assert len(splits) >= 3  # subdivided despite the huge row cap
+    # row ranges tile [0, 4000) exactly, in order
+    assert all(s[4] >= 0 for s in splits)
+    assert splits[0][4] == 0 and splits[-1][5] == 4000
+    for a, b in zip(splits, splits[1:]):
+        assert a[5] == b[4]
+    # sliced encode round-trips bit-identically
+    stats = encode_table_direct(
+        spark, src, scratch, resume=False,
+        target_rows_per_split=10**9, target_bytes_per_split=target,
+    )
+    assert stats["rows"] == 4000
+    original = spark.read.parquet(src)
+    rep = verify_roundtrip(
+        original, decode_table(spark, scratch), "url"
+    ).collect()
+    assert all(r["ok"] for r in rep)
+
+
 def test_direct_encode_bit_identical(spark, tmp_path, scratch):
     src = str(tmp_path / "src")
     df = generate_webpages_df(spark, 3000, partitions=4)
