@@ -632,6 +632,40 @@ def _pushdown_decode_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _pushdown_decode_agg_in(spark, sf_dir):
+    """IN-list predicate pushdown through the ENCODED table: encode documents
+    sorted by lang, decode (lang, n_chars) with lang IN ('de','zh') — the
+    zone maps keep a chunk when ANY list member could fall in its
+    [vmin, vmax] prefix range, pruning before any payload read; the exact
+    isin filter then applies to decoded rows. Oracle recomputes from raw."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["lang"])
+        dec = decode_table_direct(
+            spark, out, columns=["lang", "n_chars"],
+            predicates=[("lang", "in", ["de", "zh"])],
+        )
+        res = (
+            dec.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1090,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "pushdown_decode_agg": _pushdown_decode_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
+        "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
         "html_extract_text": _html_extract_text,
         "pii_redaction": _pii_redaction,
@@ -1846,6 +1881,10 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE lang = 'en'
+        """,
+        "pushdown_decode_agg_in": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE lang IN ('de', 'zh') GROUP BY lang
         """,
         "iceberg_read_agg": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

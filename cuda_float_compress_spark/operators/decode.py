@@ -170,7 +170,7 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
             "part_id", "chunk_id", "vmin", "vmax", "ptype"
         )
         ptype = stats.select("ptype").first()["ptype"]
-        v = _predicate_value(value, ptype)
+        v = None if op == "in" else _predicate_value(value, ptype)
         if op in (">=", ">"):
             keep = F.col("vmax").isNull() | (F.col("vmax") >= v)
         elif op in ("<=", "<"):
@@ -180,6 +180,16 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
                 F.col("vmin").isNull()
                 | ((F.col("vmin") <= v) & (F.col("vmax") >= v))
             )
+        elif op == "in":
+            # keep the chunk if ANY list member could fall in [vmin, vmax]
+            # (v is the list here; each member converts like an equality)
+            any_hit = F.lit(False)
+            for member in value:
+                mv = _predicate_value(member, ptype)
+                any_hit = any_hit | (
+                    (F.col("vmin") <= mv) & (F.col("vmax") >= mv)
+                )
+            keep = F.col("vmin").isNull() | any_hit
         else:
             raise ValueError(f"unsupported predicate op: {op}")
         keys = keys.join(
@@ -193,18 +203,26 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
 def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
     import datetime as _dt
 
-    for col, op, value in predicates:
+    def conv(col, value):
+        """Normalize one literal + the column expression for comparison."""
         if ptypes.get(col) in _TS_PTYPES:
-            c = F.unix_micros(F.col(col).cast("timestamp"))
-            value = _predicate_value(value, ptypes[col])
-        elif ptypes.get(col) == "date32":
-            c = F.col(col)
+            return (F.unix_micros(F.col(col).cast("timestamp")),
+                    _predicate_value(value, ptypes[col]))
+        if ptypes.get(col) == "date32":
             if isinstance(value, _dt.datetime):
                 value = value.date()
             elif isinstance(value, int):  # days-since-epoch literal
                 value = _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
-        else:
-            c = F.col(col)
+            return F.col(col), value
+        return F.col(col), value
+
+    for col, op, value in predicates:
+        if op == "in":
+            pairs = [conv(col, member) for member in value]
+            c = pairs[0][0] if pairs else F.col(col)
+            df = df.filter(c.isin([v for _, v in pairs]))
+            continue
+        c, value = conv(col, value)
         df = df.filter(
             {"<": c < value, "<=": c <= value, ">": c > value,
              ">=": c >= value, "==": c == value, "=": c == value}[op]

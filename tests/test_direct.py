@@ -481,6 +481,27 @@ def test_string_zone_map_pruning(spark, tmp_path, scratch):
     assert dec2.exceptAll(want2).count() == 0
     assert want2.exceptAll(dec2).count() == 0
 
+    # IN-list predicates prune (any-member-in-range) and filter exactly;
+    # numeric IN works through the same path
+    kept_in = qualifying_chunks(blocks, [("lang", "in", ["de", "zh"])]).count()
+    assert kept_in < total, (kept_in, total)
+    dec3 = decode_table(spark, scratch, columns=["url", "lang"],
+                        predicates=[("lang", "in", ["de", "zh"])])
+    want3 = docs.filter(F.col("lang").isin("de", "zh")).select("url", "lang")
+    assert dec3.exceptAll(want3).count() == 0
+    assert want3.exceptAll(dec3).count() == 0
+    # timestamp IN exercises the micros conversion path per member
+    ts_vals = [r["warc_ts"] for r in
+               docs.select("warc_ts").distinct().limit(3).collect()]
+    dec4 = decode_table(spark, scratch, columns=["url", "warc_ts"],
+                        predicates=[("warc_ts", "in", ts_vals)])
+    want4 = docs.filter(F.col("warc_ts").isin(ts_vals)).select(
+        "url", "warc_ts"
+    )
+    assert dec4.exceptAll(want4).count() == 0
+    assert want4.exceptAll(dec4).count() == 0
+    assert dec4.count() > 0
+
 
 def test_throughput_profile_roundtrip_bit_identical(spark, tmp_path, scratch):
     """profile='throughput' (lz4 bulk backend) encodes through the full
