@@ -189,6 +189,31 @@ def string_prefix64(v) -> int | None:
     return int.from_bytes(b[:7].ljust(7, b"\x00"), "big")
 
 
+#: zone-map key for NaN: one above +inf's key — Spark orders NaN GREATER
+#: than every other double, so a chunk containing NaN must report a vmax
+#: that satisfies any ">= x" predicate (pruning stays conservative)
+FLOAT_KEY_NAN = 9218868437227405312 + 1  # key(+inf) + 1
+
+
+def float_key64(v) -> int | None:
+    """Order-preserving map float -> int64 matching SPARK's total order
+    (NaN greatest, -0.0 == 0.0) — the zone-map domain for float columns.
+    Positive floats map to their raw bit pattern; negatives reflect below
+    zero so more-negative values get smaller keys."""
+    import math
+    import struct
+
+    if v is None:
+        return None
+    v = float(v)
+    if math.isnan(v):
+        return FLOAT_KEY_NAN
+    if v == 0.0:
+        v = 0.0  # -0.0 and +0.0 compare equal: one key
+    bits = struct.unpack(">q", struct.pack(">d", v))[0]
+    return bits if bits >= 0 else -(bits + (1 << 63)) - 1
+
+
 def raw_size_of(arr: pa.Array, ptype: str) -> int:
     """Logical uncompressed size (value bytes, nulls free) for ratio metrics."""
     if ptype in ("string", "binary"):

@@ -142,6 +142,17 @@ def _predicate_value(v, ptype: str) -> int:
         from cuda_float_compress_spark.operators.chunks import string_prefix64
 
         return string_prefix64(v)
+    if ptype in ("float32", "float64"):
+        import math
+
+        from cuda_float_compress_spark.operators.chunks import float_key64
+
+        if math.isnan(float(v)):
+            raise ValueError(
+                "NaN predicate literals are not supported (Spark's NaN "
+                "equality semantics differ from SQL; filter explicitly)"
+            )
+        return float_key64(v)
     if ptype == "date32":
         if isinstance(v, _dt.datetime):
             v = v.date()

@@ -26,6 +26,7 @@ import json
 import time
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,19 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                     np_vals = np_vals.view("i8")
                 vmin = int(np_vals.min())
                 vmax = int(np_vals.max())
+        elif ptype in ("float32", "float64") and n > n_nulls:
+            # float zone maps: Spark-total-order int64 keys (NaN greatest,
+            # -0.0 == 0.0 — chunks.float_key64). A chunk containing NaN
+            # reports vmax = key(NaN) so ">= x" predicates never prune it.
+            nn = arr.drop_null() if n_nulls else arr
+            fv = nn.to_numpy(zero_copy_only=False).astype(np.float64)
+            finite_or_inf = fv[~np.isnan(fv)]
+            if len(finite_or_inf):
+                vmin = C.float_key64(float(finite_or_inf.min()))
+                vmax = (C.FLOAT_KEY_NAN if np.isnan(fv).any()
+                        else C.float_key64(float(finite_or_inf.max())))
+            elif len(fv):  # all-NaN chunk
+                vmin = vmax = C.FLOAT_KEY_NAN
         elif ptype in ("string", "binary") and n > n_nulls:
             # string zone maps: order-preserving 7-byte big-endian prefixes
             # in the SAME int64 vmin/vmax columns (56 bits stays positive;

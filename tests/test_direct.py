@@ -681,3 +681,61 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     assert cli.main(["compact", "--out", out, "--dest", packed,
                      "--cores", "4"]) == 0
     assert decode_table(spark, packed).count() == 400
+
+
+def test_float_zone_map_pruning(spark, tmp_path, scratch):
+    """Float columns carry Spark-total-order zone maps (chunks.float_key64:
+    NaN greatest, -0.0 == +0.0): range/equality/IN predicates on a
+    score-sorted encoded table prune chunks before any payload read and
+    filter exactly — including NaN rows, which Spark orders ABOVE +inf so
+    a chunk containing NaN must survive any '>= x' predicate."""
+    import math
+
+    from cuda_float_compress_spark.operators.chunks import (
+        FLOAT_KEY_NAN,
+        float_key64,
+    )
+    from cuda_float_compress_spark.operators.decode import qualifying_chunks
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    # the key is monotone w.r.t. Spark's double ordering
+    order = [float("-inf"), -1e300, -2.0, -0.5, -0.0, 0.0, 1e-300, 3.5,
+             1e300, float("inf"), float("nan")]
+    keys = [float_key64(v) for v in order]
+    assert keys == sorted(keys)
+    assert float_key64(-0.0) == float_key64(0.0)
+    assert float_key64(float("nan")) == FLOAT_KEY_NAN
+
+    rows = [(i, f"u{i}", float(i % 97) - 48.0) for i in range(2000)]
+    # a few specials: NaN rows land in the TOP chunks once sorted by score
+    rows += [(2000 + j, f"n{j}", float("nan")) for j in range(4)]
+    rows += [(2010, "pinf", float("inf")), (2011, "nzero", -0.0)]
+    df = spark.createDataFrame(rows, "id long, url string, score double")
+    encode_table(spark, df, scratch, n_parts=4, resume=False,
+                 sort_keys=["score"], chunk_rows=128)
+    blocks = spark.read.parquet(f"{scratch}/blocks")
+    total = blocks.select("part_id", "chunk_id").distinct().count()
+
+    for preds, raw_filter in [
+        ([("score", ">=", 40.0)], F.col("score") >= 40.0),
+        ([("score", "<", -40.0)], F.col("score") < -40.0),
+        ([("score", "==", 0.0)], F.col("score") == 0.0),
+        ([("score", "in", [-5.0, 7.0])], F.col("score").isin(-5.0, 7.0)),
+    ]:
+        kept = qualifying_chunks(blocks, preds).count()
+        assert kept < total, (preds, kept, total)
+        dec = decode_table(spark, scratch, columns=["url", "score"],
+                           predicates=preds)
+        want = df.filter(raw_filter).select("url", "score")
+        assert dec.exceptAll(want).count() == 0, preds
+        assert want.exceptAll(dec).count() == 0, preds
+    # NaN rows satisfy '>= x' under Spark ordering and must survive pruning
+    got = {r["url"] for r in
+           decode_table(spark, scratch, columns=["url", "score"],
+                        predicates=[("score", ">=", 40.0)]).collect()}
+    assert {"n0", "n1", "n2", "n3", "pinf"} <= got
+    # NaN predicate literals refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="NaN"):
+        decode_table(spark, scratch,
+                     predicates=[("score", "==", float("nan"))]).count()
