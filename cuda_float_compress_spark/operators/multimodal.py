@@ -41,6 +41,13 @@ _MAGICS = {
 
 
 def sniff_media_type(payload: bytes) -> str:
+    if payload[:4] == b"RIFF":  # container family: subtype at offset 8
+        sub = payload[8:12]
+        if sub == b"WEBP":
+            return "image/webp"
+        if sub == b"AVI ":
+            return "video/x-msvideo"
+        return "audio/wav"
     for magic, mt in _MAGICS.items():
         if payload[: len(magic)] == magic:
             return mt
@@ -551,3 +558,135 @@ def frame_sample_plan(df: DataFrame, url_col: str = "url", bin_col: str = "html"
         F.col(url_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_n == 0)
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI — REAL container walk + frame decode (no codec libs:
+# each frame is a baseline/progressive JPEG our own decoder handles)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = (
+    "url string, frame_idx int, height int, width int, "
+    "mean_luma double"
+)
+
+
+def iter_avi_frames(payload: bytes):
+    """Yield (frame_idx, jpeg_bytes) for every video frame chunk ('##dc' /
+    '##db') in an AVI 'movi' list — WITHOUT decoding, so samplers skip
+    unwanted frames for free (the chunk walk is header arithmetic only).
+    Malformed containers raise ValueError (row-skip contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield cid, body_start, size
+            pos = body_start + size + (size & 1)  # word alignment
+
+    frame_idx = 0
+    found_movi = False
+    for cid, off, size in walk(12, len(payload)):
+        if cid == b"LIST" and payload[off:off + 4] == b"movi":
+            found_movi = True
+            for scid, soff, ssize in walk(off + 4, off + size):
+                if scid[2:4] in (b"dc", b"db"):
+                    yield frame_idx, payload[soff:soff + ssize]
+                    frame_idx += 1
+    if not found_movi:
+        raise ValueError("AVI payload has no movi list")
+
+
+def decode_video_frames(payload: bytes, every_n: int = 1,
+                        max_frames: int | None = None):
+    """[(frame_idx, HxWx3 uint8)] for every ``every_n``-th MJPEG frame.
+    Unsampled frames are never decoded (the sampling IS the scale story:
+    at every_n=30 a pipeline touches ~3% of the decode work)."""
+    from cuda_float_compress_spark.operators.jpeg import decode_jpeg
+
+    out = []
+    for idx, jpg in iter_avi_frames(payload):
+        if idx % every_n:
+            continue
+        out.append((idx, decode_jpeg(jpg)))
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def sample_video_frames(df: DataFrame, url_col: str = "url",
+                        bin_col: str = "payload",
+                        every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling over an opaque binary column: decode every
+    ``every_n``-th MJPEG frame of each AVI payload (pure-numpy JPEG
+    decoder) and emit one feature row per sampled frame. Malformed or
+    out-of-profile payloads are row-skips, never task failures — the same
+    contract as extract_media_features."""
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames = decode_video_frames(bytes(payload), every_n)
+                except (ValueError, NotImplementedError):
+                    continue  # skip bad payloads, keep the task alive
+                for idx, img in frames:
+                    # ITU-R BT.601 luma — one float per sampled frame
+                    luma = (0.299 * img[:, :, 0].astype(np.float64)
+                            + 0.587 * img[:, :, 1]
+                            + 0.114 * img[:, :, 2]).mean()
+                    rows.append((url, idx, img.shape[0], img.shape[1],
+                                 float(luma)))
+            yield pd.DataFrame(
+                rows, columns=["url", "frame_idx", "height", "width",
+                               "mean_luma"],
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(
+        sample, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Test/fixture twin: HxWx3 uint8 frames -> a real MJPEG AVI container
+    (RIFF hdrl/avih + strl/strh/strf + movi with '00dc' JPEG chunks)."""
+    from cuda_float_compress_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpgs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        out = cid + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+        return out
+
+    def lst(four_cc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four_cc + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(jpgs), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpgs), 0, 0, 0, 0,
+    ))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpgs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1724,3 +1724,54 @@ def test_kmv_ignores_nulls(spark):
                                "x string")
     r = relational.kmv_distinct(df, "x", k=64).collect()[0]
     assert r["distinct_estimate"] == 9.0 and r["n_kept"] == 9
+
+
+def test_mjpeg_avi_video_frames(spark):
+    """REAL video path: MJPEG-in-AVI container walk + per-frame JPEG decode.
+    Sampling skips unsampled frames WITHOUT decoding them (chunk-header
+    arithmetic only); the Spark operator emits one feature row per sampled
+    frame and row-skips malformed payloads."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack([(yy * 3 + t * 11) % 256, (xx * 5) % 256,
+                  np.full_like(yy, 40 + t)], axis=2).astype(np.uint8)
+        for t in range(7)
+    ]
+    avi = M.encode_avi_mjpeg(frames, fps=5)
+    assert M.sniff_media_type(avi) == "video/x-msvideo"
+    # full decode: frame indices and dims round-trip; pixels match the
+    # JPEG codec's own decode of the same frame (lossy but deterministic)
+    got = M.decode_video_frames(avi, every_n=1)
+    assert [i for i, _ in got] == list(range(7))
+    assert all(img.shape == (24, 32, 3) for _, img in got)
+    from cuda_float_compress_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert np.array_equal(got[3][1], decode_jpeg(encode_jpeg(frames[3],
+                                                             quality=90)))
+    # sampling decodes ONLY every 3rd frame
+    sampled = M.decode_video_frames(avi, every_n=3)
+    assert [i for i, _ in sampled] == [0, 3, 6]
+    # the Spark operator: one row per sampled frame, bad payloads skipped
+    df = spark.createDataFrame(
+        [("v://ok", bytearray(avi)), ("v://bad", bytearray(b"RIFFxxxxAVI ")),
+         ("v://not", bytearray(b"plain bytes"))],
+        "url string, payload binary",
+    )
+    rows = M.sample_video_frames(df, every_n=3).collect()
+    assert sorted((r["url"], r["frame_idx"]) for r in rows) == [
+        ("v://ok", 0), ("v://ok", 3), ("v://ok", 6)]
+    assert all(r["height"] == 24 and r["width"] == 32 for r in rows)
+    assert all(0.0 <= r["mean_luma"] <= 255.0 for r in rows)
+    # WebP sniffing still works through the shared RIFF family dispatch
+    from cuda_float_compress_spark.operators.webp import encode_webp_lossless
+
+    wp = encode_webp_lossless(frames[0])
+    assert M.sniff_media_type(wp) == "image/webp"
