@@ -362,3 +362,51 @@ def test_date_predicate_int_days_literal(spark, scratch):
     got = decode_table(spark, scratch, predicates=[("d", ">=", days)])
     expected = df.filter(F.col("d") >= F.lit(dt.date(2024, 6, 1)))
     assert got.count() == expected.count() > 0
+
+
+def test_block_corruption_detected(spark, tmp_path, scratch):
+    """Per-block crc32: a storage bit-flip inside a compressed payload no
+    longer decompresses into silently-wrong values (observed pre-fix: a
+    mid-payload flip DECODED successfully) — decode raises
+    BlockIntegrityError/ValueError naming the codec, and the clean table
+    still round-trips. Truncation and params corruption surface as
+    ValueError too (the row-skip/error contract at the chunk boundary)."""
+    import pyarrow.parquet as pq
+
+    from cuda_float_compress_spark.operators.chunks import (
+        BlockIntegrityError,
+        decode_column_chunk,
+    )
+    from cuda_float_compress_spark.operators.direct import encode_table_direct
+    from cuda_float_compress_spark.table import generate_webpages_df
+
+    src = str(tmp_path / "crc_src")
+    generate_webpages_df(spark, 600, partitions=1).write.parquet(src)
+    encode_table_direct(spark, src, scratch, resume=False,
+                        target_rows_per_split=300)
+    import glob as _glob
+
+    f = sorted(_glob.glob(f"{scratch}/blocks/*.parquet"))[0]
+    tbl = pq.read_table(f)
+    row = {c: tbl.column(c)[0].as_py() for c in tbl.column_names}
+    # pick the text column's block (big payload)
+    for i in range(tbl.num_rows):
+        if tbl.column("col")[i].as_py() == "text":
+            row = {c: tbl.column(c)[i].as_py() for c in tbl.column_names}
+            break
+    good = decode_column_chunk(row["payload"], row["codec"], row["params"],
+                               row["n"], row["n_nulls"], row["ptype"])
+    assert len(good) == row["n"]
+    bad = bytearray(row["payload"])
+    bad[len(bad) // 2] ^= 0xFF
+    import pytest as _pytest
+    with _pytest.raises(BlockIntegrityError, match="crc32 mismatch"):
+        decode_column_chunk(bytes(bad), row["codec"], row["params"],
+                            row["n"], row["n_nulls"], row["ptype"])
+    with _pytest.raises(ValueError):
+        decode_column_chunk(row["payload"][: len(row["payload"]) // 3],
+                            row["codec"], row["params"], row["n"],
+                            row["n_nulls"], row["ptype"])
+    with _pytest.raises(ValueError, match="params"):
+        decode_column_chunk(row["payload"], row["codec"], '{"bad',
+                            row["n"], row["n_nulls"], row["ptype"])
