@@ -201,16 +201,32 @@ def plan_splits(input_dir: str, target_rows_per_split: int = 131_072,
     ``total_byte_size`` from the parquet footers). Row-count-only splits
     skew when document lengths vary — the bench table showed 5x
     raw-byte spread across equal-row splits, which makes the straggler
-    task 5x the median at decode too. Default byte cap = 16x the row cap
-    at ~64 B/row, i.e. row-dominated for narrow tables, byte-dominated
-    for long-document ones; at 100 TB size primarily by bytes."""
-    if target_bytes_per_split is None:
-        target_bytes_per_split = max(target_rows_per_split * 64, 1 << 24)
+    task 5x the median at decode too.
+
+    Default byte cap: derived from the footers as
+    ``max(192 MB, largest observed row group)``, so a table written by a
+    normal parquet writer NEVER takes the sub-row-group path.  That path
+    splits one row group into k row ranges, and each range's task must
+    re-decode the row group from its start (parquet has no intra-row-group
+    seek), i.e. ~k/2x read+decode amplification across the k tasks — only
+    worth paying for a true straggler.  Round 5 defaulted the cap to 16 MB,
+    which quintupled ordinary 67 MB row groups and tripled 1-core encode
+    time; deriving the cap from the actual footer statistics removes the
+    amplification entirely for uniform tables while an EXPLICIT
+    ``target_bytes_per_split`` still subdivides pathological row groups
+    (>1.5x the cap) for callers that know their table has one."""
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    metas = [pq.ParquetFile(f).metadata for f in files]
+    if target_bytes_per_split is None:
+        max_rg = max(
+            (md.row_group(i).total_byte_size
+             for md in metas for i in range(md.num_row_groups)),
+            default=0,
+        )
+        target_bytes_per_split = max(192 << 20, max_rg)
     splits = []
     pid = 0
-    for f in files:
-        md = pq.ParquetFile(f).metadata
+    for f, md in zip(files, metas):
         rg = 0
         while rg < md.num_row_groups:
             rg_rows = md.row_group(rg).num_rows
@@ -296,6 +312,8 @@ def encode_table_direct(
                             lo = max(row_start - offset, 0)  # batch to the
                             hi = min(row_end - offset, rb.num_rows)  # range
                             offset += rb.num_rows
+                            if offset >= row_end and hi <= lo:
+                                break  # past our range: skip the tail decode
                             if hi <= lo:
                                 continue
                             if (lo, hi) != (0, rb.num_rows):
