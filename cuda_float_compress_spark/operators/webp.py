@@ -380,9 +380,12 @@ def _inv_color_transform(img, tiles, bits, w, h):
     t = tiles.reshape(-1)[
         (yy >> bits) * tiles.shape[1] + (xx >> bits)
     ]
-    g2r = (t >> 16) & 0xFF   # red byte of the tile element: green_to_red
+    # ColorTransformElement is stored as a pixel whose BLUE byte is
+    # green_to_red, GREEN byte green_to_blue, RED byte red_to_blue
+    # (spec 4.2.3; libwebp reads cte.green_to_red = argb & 0xff)
+    g2r = t & 0xFF           # blue byte: green_to_red
     g2b = (t >> 8) & 0xFF    # green byte: green_to_blue
-    r2b = t & 0xFF           # blue byte: red_to_blue
+    r2b = (t >> 16) & 0xFF   # red byte: red_to_blue
     a, r, g, b = _argb_planes(px)
     r = (r + _ct_delta(g2r, g)) & 0xFF
     b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
@@ -460,10 +463,11 @@ def _inv_predictor(img, tiles, bits, w, h):
                 L = _px_tuple(int(out[y, x - 1]))
                 T = _px_tuple(int(out[y - 1, x]))
                 TL = _px_tuple(int(out[y - 1, x - 1]))
-                # top-right of the rightmost pixel: leftmost pixel of the
-                # row above (spec edge rule)
+                # top-right of the rightmost pixel: the decoded buffer is
+                # contiguous, so top_row[w] is the CURRENT row's leftmost
+                # pixel (already reconstructed) — libwebp's edge rule
                 TR = _px_tuple(int(out[y - 1, x + 1] if x + 1 < w
-                                   else out[y - 1, 0]))
+                                   else out[y, 0]))
                 pred = _predict(mode, L, T, TL, TR)
             res = _px_tuple(int(out[y, x]))
             out[y, x] = ((((res[0] + pred[0]) & 0xFF) << 24)
@@ -911,7 +915,9 @@ def encode_webp_lossless(
         tw = -(-w // (1 << bits))
         th = -(-h // (1 << bits))
         g2r, g2b, r2b = 5, 3, 2
-        elem = 0xFF000000 | (g2r << 16) | (g2b << 8) | r2b
+        # element layout per spec 4.2.3: red byte = red_to_blue,
+        # green byte = green_to_blue, blue byte = green_to_red
+        elem = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
         tiles = np.full(tw * th, elem, np.uint32)
         _encode_image(bw, tiles, tw, top_level=False)
         aa, rr, gg, bb = _argb_planes(argb)
@@ -1002,8 +1008,10 @@ def _forward_predictor(argb: np.ndarray, mode: int, w: int, h: int):
                 L = _px_tuple(int(src[y, x - 1]))
                 T = _px_tuple(int(src[y - 1, x]))
                 TL = _px_tuple(int(src[y - 1, x - 1]))
+                # rightmost-column TR mirrors the decoder: current row's
+                # leftmost pixel (contiguous-buffer edge rule)
                 TR = _px_tuple(int(src[y - 1, x + 1] if x + 1 < w
-                                   else src[y - 1, 0]))
+                                   else src[y, 0]))
                 pred = _predict(mode, L, T, TL, TR)
             px = _px_tuple(int(src[y, x]))
             out[y, x] = ((((px[0] - pred[0]) & 0xFF) << 24)

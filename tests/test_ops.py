@@ -746,6 +746,65 @@ def test_webp_lossless_roundtrip_all_paths():
     assert np.array_equal(multimodal.decode_image(enc), flat)
 
 
+def test_webp_color_transform_element_byte_layout():
+    """Pins the SPEC layout of ColorTransformElement independent of the
+    encoder twin (which once mirrored a channel swap, hiding it from the
+    round-trip tests): green_to_red lives in the element's BLUE byte,
+    green_to_blue in GREEN, red_to_blue in RED (spec 4.2.3)."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    g2r = 64  # blue byte only: delta must land on the RED channel
+    tiles = np.array([0xFF000000 | g2r], np.uint32).reshape(1, 1)
+    px = np.array([0xFF0A4014], np.uint32)  # a=FF r=10 g=64 b=20
+    out = W._inv_color_transform(px, tiles, 9, 1, 1)
+    # ct_delta(64, g=64) = (64*64)>>5 = 128 -> r = 10+128 = 138; b unchanged
+    assert out[0] == 0xFF8A4014, hex(out[0])
+    # and a RED-byte element must shift BLUE (red_to_blue), via final red
+    r2b = 32
+    tiles = np.array([0xFF000000 | (r2b << 16)], np.uint32).reshape(1, 1)
+    out = W._inv_color_transform(px, tiles, 9, 1, 1)
+    # delta(32, r=10) = (32*10)>>5 = 10 -> b = 20+10 = 30; r untouched
+    assert out[0] == 0xFF0A401E, hex(out[0])
+    # forward twin inverts exactly under the fixed layout
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    enc = W.encode_webp_lossless(img, transform="color")
+    assert np.array_equal(W.decode_webp(enc), img)
+
+
+def test_webp_predictor_tr_edge_uses_current_row_leftmost():
+    """Rightmost-column TR (predictor modes 3/5/9/10) is the CURRENT row's
+    leftmost pixel — libwebp's contiguous top_row[width] — not the row
+    above's. Crafted residuals, mode 3 (pure TR): the bottom-right pixel
+    must reconstruct equal to the bottom-left one."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    tiles = np.array([0xFF000000 | (3 << 8)], np.uint32).reshape(1, 1)
+    res = np.array([
+        0x000A141E,  # (0,0): +black pred -> FF 0A 14 1E
+        0x00010101,  # (0,1): +left
+        0x00050505,  # (1,0): +top
+        0x00000000,  # (1,1): +TR -> must equal out[1,0], not out[0,0]
+    ], np.uint32)
+    out = W._inv_predictor(res, tiles, 9, 2, 2).reshape(2, 2)
+    assert out[1, 0] == 0xFF0F1923
+    assert out[1, 1] == out[1, 0], [hex(v) for v in out.ravel()]
+    # forward twin inverts exactly for every TR-using mode at the edge
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, 5 * 7, dtype=np.uint32) | 0xFF000000
+    for mode in (3, 5, 9, 10):
+        fwd = W._forward_predictor(img, mode, 7, 5)
+        back = W._inv_predictor(
+            fwd, np.array([0xFF000000 | (mode << 8)], np.uint32).reshape(1, 1),
+            9, 7, 5,
+        )
+        assert np.array_equal(back, img), mode
+
+
 def test_webp_meta_prefix_codes():
     """Hand-built VP8L stream with META prefix codes: a 2-tile entropy
     image routes the left/right halves to different code groups; the
