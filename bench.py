@@ -52,9 +52,64 @@ BENCH_SPLIT_ROWS = int(os.environ.get("BENCH_SPLIT_ROWS", "16384"))
 # direct evidence of WHEN the host was sick, and scaling retries trigger
 # automatically instead of printing a sub-gate number from a bad window.
 PROBE_HEALTHY_GBPS = float(os.environ.get("BENCH_PROBE_HEALTHY", "0.55"))
+PROBE_ENCODE_HEALTHY_GBPS = float(
+    os.environ.get("BENCH_PROBE_ENCODE_HEALTHY", "0.15")
+)
+
+# Pinned per-stage healthy bands (round-6, this host, sf0.1 defaults:
+# 480k-row web table, 32 cores, scaling at 4M rows 1->4 cores). A stage
+# running >1.5x SLOWER than its band while the shaped probes read healthy
+# is flagged "regression_suspected" — investigate code first, not the
+# host. (Round 5's plan_splits regression sailed through because scaling
+# efficiency is a quotient and the probe was decode-shaped; a pinned
+# absolute band on gb_per_sec_lo would have caught it immediately.)
+# Bands are MINIMUM healthy throughput = pinned_median / 1.5.
+STAGE_BANDS_GBPS = {
+    "encode": 0.055,            # shuffle-path encode, median ~0.083
+    "encode_direct": 0.17,      # direct-path encode, median ~0.26
+    "decode": 0.17,             # shuffle-path decode, median ~0.26
+    "decode_direct": 0.25,      # direct-path decode, median ~0.38
+    "kernel_1core": 0.55,       # 1-core decode floor, median ~0.85
+    "scaling_lo": 0.066,        # 1-core pipeline encode, median ~0.10 (r4)
+}
 
 
 _PROBE_CHUNKS: list | None = None
+_PROBE_RAW: list | None = None
+
+
+def _probe_payload() -> tuple[list, list]:
+    """Build (and cache) the probe working set: 8 distinct ~5 MB binary
+    arrays (~40 MB total, deliberately larger than L3) plus their encoded
+    chunks. Shared by the decode-shaped and encode-shaped probes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cuda_float_compress_spark.operators import chunks as Ch
+
+    global _PROBE_CHUNKS, _PROBE_RAW
+    if _PROBE_CHUNKS is None:
+        rng = np.random.default_rng(12345)
+        words = ["the", "quick", "brown", "fox", "compression", "spark",
+                 "engine", "page", "html", "content", "data", "scale"]
+        _PROBE_CHUNKS = []
+        _PROBE_RAW = []
+        for _ in range(8):  # 8 distinct ~5 MB chunks = ~40 MB working set
+            texts = []
+            for _ in range(4000):
+                k = int(rng.integers(40, 400))
+                texts.append(
+                    (" ".join(words[int(j)]
+                              for j in rng.integers(0, len(words), k))
+                     ).encode()
+                )
+            arr = pa.array(texts, type=pa.large_binary())
+            raw = sum(len(t) for t in texts)
+            _PROBE_RAW.append((raw, arr))
+            _PROBE_CHUNKS.append(
+                (raw, Ch.encode_column_chunk(arr, "binary"))
+            )
+    return _PROBE_CHUNKS, _PROBE_RAW
 
 
 def host_probe(seconds: float = 0.45) -> dict:
@@ -67,38 +122,16 @@ def host_probe(seconds: float = 0.45) -> dict:
     this host: healthy ~0.75-0.95 GB/s; the documented pathology halves
     the floor (0.27-0.3 band), so the 0.55 default threshold separates
     them."""
-    import numpy as np
-    import pyarrow as pa
-
     from cuda_float_compress_spark.operators import chunks as Ch
 
-    global _PROBE_CHUNKS
-    if _PROBE_CHUNKS is None:
-        rng = np.random.default_rng(12345)
-        words = ["the", "quick", "brown", "fox", "compression", "spark",
-                 "engine", "page", "html", "content", "data", "scale"]
-        _PROBE_CHUNKS = []
-        for _ in range(8):  # 8 distinct ~5 MB chunks = ~40 MB working set
-            texts = []
-            for _ in range(4000):
-                k = int(rng.integers(40, 400))
-                texts.append(
-                    (" ".join(words[int(j)]
-                              for j in rng.integers(0, len(words), k))
-                     ).encode()
-                )
-            arr = pa.array(texts, type=pa.large_binary())
-            raw = sum(len(t) for t in texts)
-            _PROBE_CHUNKS.append(
-                (raw, Ch.encode_column_chunk(arr, "binary"))
-            )
+    probe_chunks, _ = _probe_payload()
     # one unmeasured pass warms allocators/caches
-    for _, (codec, payload, params, n, n_nulls) in _PROBE_CHUNKS:
+    for _, (codec, payload, params, n, n_nulls) in probe_chunks:
         Ch.decode_column_chunk(payload, codec, params, n, n_nulls, "binary")
     t0 = time.perf_counter()
     done = 0
     while time.perf_counter() - t0 < seconds:
-        for raw, (codec, payload, params, n, n_nulls) in _PROBE_CHUNKS:
+        for raw, (codec, payload, params, n, n_nulls) in probe_chunks:
             Ch.decode_column_chunk(
                 payload, codec, params, n, n_nulls, "binary"
             )
@@ -109,6 +142,33 @@ def host_probe(seconds: float = 0.45) -> dict:
         "gb_per_sec": round(gbps, 4),
         "healthy_min": PROBE_HEALTHY_GBPS,
         "healthy": gbps >= PROBE_HEALTHY_GBPS,
+        "at_sec": round(time.monotonic() - _T_START, 1),
+    }
+
+
+def host_probe_encode(seconds: float = 0.45) -> dict:
+    """1-core ENCODE-kernel health probe over the same ~40 MB working set.
+    Round 5's decode-only probe read healthy while 1-core encode ran 3x
+    slow (a code regression, not the host) — a probe can only vouch for
+    the stages it is shaped like. This one runs the real chunk-encode path
+    (FSST/zstd selection + compression), so encode-stage numbers get their
+    own healthy/sick verdict. Calibrated on this host: healthy ~0.27 GB/s;
+    the documented pathology halves kernel rates, so 0.15 separates."""
+    from cuda_float_compress_spark.operators import chunks as Ch
+
+    _, probe_raw = _probe_payload()  # also warms: payload build encodes once
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() - t0 < seconds:
+        for raw, arr in probe_raw:
+            Ch.encode_column_chunk(arr, "binary")
+            done += raw
+    dt = time.perf_counter() - t0
+    gbps = done / dt / 1e9
+    return {
+        "gb_per_sec": round(gbps, 4),
+        "healthy_min": PROBE_ENCODE_HEALTHY_GBPS,
+        "healthy": gbps >= PROBE_ENCODE_HEALTHY_GBPS,
         "at_sec": round(time.monotonic() - _T_START, 1),
     }
 
@@ -375,9 +435,12 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    # health probe BEFORE anything else: if this is low, every number below
-    # was taken on a sick host (see BASELINE.md "host pathology")
+    # health probes BEFORE anything else: if these are low, every number
+    # below was taken on a sick host (see BASELINE.md "host pathology").
+    # Both shapes run — decode-shaped AND encode-shaped (round 5's
+    # decode-only probe could not vouch for encode stages).
     suite_probes = [host_probe()]
+    suite_encode_probes = [host_probe_encode()]
 
     spark = get_spark(app="bench", cores=args.cores,
                       shuffle_partitions=max(args.cores, 8))
@@ -397,6 +460,7 @@ def main() -> None:
     )
     decode_res = run_decode(spark, web_path, args.n_parts)
     suite_probes.append(host_probe())  # host health right after the pipeline
+    suite_encode_probes.append(host_probe_encode())
 
     # self-defense for the pipeline numbers: if the host was sick during the
     # pipeline window, re-run the worst-hit stage once on a (hopefully)
@@ -530,7 +594,46 @@ def main() -> None:
     # reported for the host-locality re-clustering use case
     total = round(sum(t for t in qtimes.values() if t > 0)
                   + encode_direct_res["sec"] + decode_res["direct_sec"], 3)
-    out = {
+
+    # --- per-stage band verdicts: compare each stage to its pinned healthy
+    # band. Slower than band + shaped probe healthy => the code regressed
+    # ("regression_suspected"); slower + probe sick => host window
+    # ("host_pathology"). Round 5 shipped a 3x encode regression labeled
+    # "host noise" precisely because this comparison did not exist.
+    probes_healthy = all(p["healthy"] for p in suite_probes)
+    enc_probes_healthy = all(p["healthy"] for p in suite_encode_probes)
+    measured_gbps = {
+        "encode": (encode_res["gb_per_sec"], enc_probes_healthy),
+        "encode_direct": (encode_direct_res["gb_per_sec"],
+                          enc_probes_healthy),
+        "decode": (decode_res["gb_per_sec"], probes_healthy),
+        "decode_direct": (decode_res["direct_gb_per_sec"], probes_healthy),
+        "kernel_1core": (decode_res["kernel_1core"]["gb_per_sec"],
+                         probes_healthy),
+    }
+    if scaling is not None:
+        scale_probes_ok = all(
+            p["healthy"] for p in scaling.get("probes", [])
+        )
+        measured_gbps["scaling_lo"] = (
+            scaling["gb_per_sec_lo"], scale_probes_ok and enc_probes_healthy
+        )
+    # bands were pinned at the default config (480k-row table, 32 cores,
+    # 4M-row scaling) — a deliberately tiny smoke run undershoots them for
+    # config reasons, not code ones
+    bands_applicable = (BENCH_WEB_ROWS >= 480_000 and args.cores >= 16)
+    band_verdicts = {}
+    for stage, (gbps, probe_ok) in measured_gbps.items():
+        if not bands_applicable:
+            band_verdicts[stage] = "n/a_nondefault_config"
+        elif gbps >= STAGE_BANDS_GBPS[stage]:
+            band_verdicts[stage] = "ok"
+        else:
+            band_verdicts[stage] = (
+                "regression_suspected" if probe_ok else "host_pathology"
+            )
+
+    full = {
         "metric": "bench_suite_sec",
         "value": total,
         "unit": "sec",
@@ -543,8 +646,52 @@ def main() -> None:
         "web_rows": BENCH_WEB_ROWS,
         "scaling": scaling,
         "host_probes": suite_probes,
+        "host_probes_encode": suite_encode_probes,
+        "stage_bands_min_gbps": STAGE_BANDS_GBPS,
+        "stage_band_verdicts": band_verdicts,
     }
-    print(json.dumps(out))
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # FINAL stdout line: compact (<2 KB) so the driver's tail capture always
+    # parses it (round 5's full-evidence line blew past the capture window
+    # and the hard artifact recorded "parsed": null). Full evidence is in
+    # the committed file above.
+    compact = {
+        "metric": "bench_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "encode_gbps": encode_res["gb_per_sec"],
+        "encode_direct_gbps": encode_direct_res["gb_per_sec"],
+        "encode_tp_gbps": encode_tp_res["gb_per_sec"],
+        "ratio": encode_direct_res["ratio"],
+        "ratio_tp": encode_tp_res["ratio"],
+        "decode_gbps": decode_res["gb_per_sec"],
+        "decode_direct_gbps": decode_res["direct_gb_per_sec"],
+        "kernel_1core_gbps": decode_res["kernel_1core"]["gb_per_sec"],
+        "scaling": None if scaling is None else {
+            "cores": [scaling["cores_lo"], scaling["cores_hi"]],
+            "gbps": [scaling["gb_per_sec_lo"], scaling["gb_per_sec_hi"]],
+            "efficiency": scaling["efficiency"],
+        },
+        "bands": band_verdicts,
+        "probes_healthy": probes_healthy and enc_probes_healthy,
+        "full_evidence": os.path.basename(full_path),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2048:  # never regress the artifact again: hard-trim
+        compact["queries"] = {k: v for k, v in sorted(
+            qtimes.items(), key=lambda kv: -kv[1])[:10]}
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
