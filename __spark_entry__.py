@@ -789,6 +789,53 @@ def _iceberg_read_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _iceberg_rest_read_agg(spark, sf_dir):
+    """Catalog-service read path: the same two-snapshot Iceberg v2 fixture
+    as iceberg_read_agg, but loaded THROUGH the REST catalog client
+    (sources/iceberg_rest.py) against an in-process mock implementing the
+    public REST-catalog spec's JSON shapes — config handshake with prefix
+    discovery, bearer auth, LoadTableResult — and read with snapshot time
+    travel to the FIRST snapshot. The oracle recomputes that snapshot's
+    content (the first half of documents in doc_id order) from the raw
+    table, so catalog walk + manifest walk + time travel are all on the
+    hash-checked path."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.sources.iceberg import (
+        write_iceberg_fixture,
+    )
+    from cuda_float_compress_spark.sources.iceberg_rest import (
+        read_iceberg_rest,
+        serve_catalog_fixture,
+    )
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+            "doc_id"
+        )
+        cut = len(pdf) // 2
+        info = write_iceberg_fixture(out, [[pdf.iloc[:cut]], [pdf.iloc[cut:]]])
+        with serve_catalog_fixture({("web", "docs"): out},
+                                   token="sekrit") as uri:
+            docs = read_iceberg_rest(
+                spark, uri, "web", "docs", token="sekrit",
+                snapshot_id=info["snapshot_ids"][0],
+            )
+            res = (
+                docs.groupBy("source")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .cache()
+            )
+            res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_features(spark, sf_dir):
     """Media plumbing over a deterministic binary column: real format magics
     (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
@@ -1126,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
+        "iceberg_rest_read_agg": _iceberg_rest_read_agg,
         "html_extract_text": _html_extract_text,
         "pii_redaction": _pii_redaction,
         "media_features": _media_features,
@@ -1889,6 +1937,19 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_read_agg": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        # first snapshot = first half of documents in doc_id order (the
+        # fixture writes [:n//2] then [n//2:]; time travel selects snap 1)
+        "iceberg_rest_read_agg": """
+            WITH o AS (
+                SELECT source, n_chars,
+                       row_number() OVER (ORDER BY doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM o WHERE rn <= n // 2 GROUP BY source
         """,
         # identical wrap + regexp-chain extraction as the Spark operator
         # (operators/text.py html_to_text_col); replace order matters and

@@ -65,12 +65,12 @@ PROBE_ENCODE_HEALTHY_GBPS = float(
 # absolute band on gb_per_sec_lo would have caught it immediately.)
 # Bands are MINIMUM healthy throughput = pinned_median / 1.5.
 STAGE_BANDS_GBPS = {
-    "encode": 0.055,            # shuffle-path encode, median ~0.083
-    "encode_direct": 0.17,      # direct-path encode, median ~0.26
-    "decode": 0.17,             # shuffle-path decode, median ~0.26
-    "decode_direct": 0.25,      # direct-path decode, median ~0.38
-    "kernel_1core": 0.55,       # 1-core decode floor, median ~0.85
-    "scaling_lo": 0.066,        # 1-core pipeline encode, median ~0.10 (r4)
+    "encode": 0.10,             # shuffle-path encode, healthy ~0.157
+    "encode_direct": 0.11,      # direct-path encode, healthy ~0.165
+    "decode": 0.19,             # shuffle-path decode, healthy ~0.287
+    "decode_direct": 0.16,      # direct-path decode, healthy ~0.243
+    "kernel_1core": 0.55,       # 1-core decode floor, healthy ~0.82
+    "scaling_lo": 0.063,        # 1-core pipeline encode, healthy ~0.095
 }
 
 

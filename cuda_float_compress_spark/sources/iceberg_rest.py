@@ -159,3 +159,88 @@ def read_iceberg_rest(
             f"snapshot has no data files in {namespace}.{table}"
         )
     return spark.read.parquet(*files)
+
+
+class serve_catalog_fixture:
+    """Context manager spinning an in-process REST catalog mock over
+    on-disk Iceberg tables, for tests and oracle queries (the sandbox has
+    no external catalog service; this implements the spec's documented
+    JSON shapes — config handshake with prefix discovery, bearer auth,
+    namespace/table listing, LoadTableResult with embedded metadata).
+
+    ``tables``: {(namespace, name): table_dir} of tables written by
+    ``sources.iceberg.write_iceberg_fixture`` (or any v2 layout the
+    on-disk loader understands). Yields the service base URI."""
+
+    def __init__(self, tables: dict, token: str | None = None,
+                 prefix: str = "ws"):
+        self.tables = dict(tables)
+        self.token = token
+        self.prefix = prefix
+
+    def __enter__(self) -> str:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from cuda_float_compress_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+
+        metas = {
+            key: load_table_metadata(tdir)
+            for key, tdir in self.tables.items()
+        }
+        token, prefix = self.token, self.prefix
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/v1/config"):
+                    return self._reply(
+                        200, {"defaults": {}, "overrides": {"prefix": prefix}}
+                    )
+                if token is not None and (
+                    self.headers.get("Authorization") != f"Bearer {token}"
+                ):
+                    return self._reply(401, {"error": {
+                        "message": "missing/invalid bearer token",
+                        "code": 401}})
+                if self.path == f"/v1/{prefix}/namespaces":
+                    spaces = sorted({ns for ns, _ in metas})
+                    return self._reply(
+                        200, {"namespaces": [[s] for s in spaces]}
+                    )
+                for (ns, name), meta in metas.items():
+                    if self.path == f"/v1/{prefix}/namespaces/{ns}/tables":
+                        idents = [
+                            {"namespace": [n0], "name": t0}
+                            for (n0, t0) in sorted(metas)
+                            if n0 == ns
+                        ]
+                        return self._reply(200, {"identifiers": idents})
+                    if self.path == (
+                        f"/v1/{prefix}/namespaces/{ns}/tables/{name}"
+                    ):
+                        return self._reply(200, {"metadata": meta})
+                return self._reply(404, {"error": {
+                    "message": "table not found", "code": 404}})
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self._srv.serve_forever,
+                         daemon=True).start()
+        return f"http://127.0.0.1:{self._srv.server_address[1]}"
+
+    def __exit__(self, *exc):
+        self._srv.shutdown()
+        self._srv.server_close()
+        return False
