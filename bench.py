@@ -263,13 +263,19 @@ def _kernel_decode_floor(out_dir: str) -> dict:
                          "ptype", "raw_bytes")
         }
         for i in range(tbl.num_rows):
+            # verify=False: a trusted local read (this process wrote the
+            # blocks seconds ago) — measures the kernel without the crc32
+            # pass. The crc DEFAULT stays on for real reads; the Spark-path
+            # decode numbers above include it.
             Ch.decode_column_chunk(
                 cols["payload"][i], cols["codec"][i], cols["params"][i],
                 cols["n"][i], cols["n_nulls"][i], cols["ptype"][i],
+                verify=False,
             )
             raw += cols["raw_bytes"][i]
     sec = time.perf_counter() - t0
-    return {"sec": round(sec, 3), "gb_per_sec": round(raw / sec / 1e9, 4)}
+    return {"sec": round(sec, 3), "gb_per_sec": round(raw / sec / 1e9, 4),
+            "verify": False}
 
 
 def run_decode(spark, src_path: str, n_parts: int, runs: int = 2) -> dict:

@@ -45,17 +45,28 @@ ZSTD_LEVEL = 1  # reference conclusion: level 1 fastest AND best on transposed d
 # ---------------------------------------------------------------------------
 
 
+# module-level codec instances: pa.compress/pa.decompress construct a new
+# Codec (and a zstd context) per call — measured 12% of large-frame
+# decompress throughput on this host (1.25 vs 1.11 GB/s) and ~20 us per
+# small frame. One instance per backend, reused for every chunk.
+_ZSTD = pa.Codec("zstd", compression_level=ZSTD_LEVEL)
+_LZ4 = pa.Codec("lz4")
+
+
 def zstd_compress(buf: bytes, level: int = ZSTD_LEVEL) -> bytes:
     if len(buf) == 0:
         return b""
-    return pa.compress(buf, codec="zstd", asbytes=True)
+    codec = _ZSTD if level == ZSTD_LEVEL else pa.Codec(
+        "zstd", compression_level=level
+    )
+    return codec.compress(buf, asbytes=True)
 
 
 def zstd_decompress(buf: bytes, decompressed_size: int) -> bytes:
     if decompressed_size == 0:
         return b""
-    return pa.decompress(
-        buf, decompressed_size=decompressed_size, codec="zstd", asbytes=True
+    return _ZSTD.decompress(
+        buf, decompressed_size=decompressed_size, asbytes=True
     )
 
 
@@ -67,14 +78,14 @@ def lz4_compress(buf: bytes) -> bytes:
     finder; lz4 can."""
     if len(buf) == 0:
         return b""
-    return pa.compress(buf, codec="lz4", asbytes=True)
+    return _LZ4.compress(buf, asbytes=True)
 
 
 def lz4_decompress(buf: bytes, decompressed_size: int) -> bytes:
     if decompressed_size == 0:
         return b""
-    return pa.decompress(
-        buf, decompressed_size=decompressed_size, codec="lz4", asbytes=True
+    return _LZ4.decompress(
+        buf, decompressed_size=decompressed_size, asbytes=True
     )
 
 
@@ -992,11 +1003,26 @@ def float_quantize_encode(
     src/cuszplus_f32.cu:384-388), then the best EXACT integer codec selected
     per chunk (delta vs no-predictor zigzag vs delta-of-delta — model-weight
     chunks are near-iid, so no-predictor usually wins; see int_zz_encode).
-    Guarantees |decode - x| <= max_error when quantization doesn't overflow."""
+    Guarantees |decode - x| <= max_error. Inputs the int64 quantizer cannot
+    represent — non-finite values, or |x|/eps >= 2^62 — raise ValueError
+    instead of silently corrupting (the reference's int32 quantizer has the
+    same domain limit but no guard, src/cuszplus_f32.cu:41-50; an engine
+    refusing loudly beats garbage at 100 TB). Use the lossless float path
+    for such data."""
     from cuda_float_compress_spark.codecs import select
 
     eps = 2.0 * max_error
-    q = np.rint(v.astype(np.float64) / eps).astype(np.int64)
+    scaled = v.astype(np.float64) / eps
+    if len(scaled) and (
+        not np.isfinite(scaled).all()
+        or np.abs(scaled).max() >= float(2**62)
+    ):
+        raise ValueError(
+            "lossy quantization cannot represent non-finite values or "
+            f"|x|/eps >= 2^62 (eps={eps}); use the lossless float codec "
+            "(compress_lossless_f32 / engine float columns) for this data"
+        )
+    q = np.rint(scaled).astype(np.int64)
     codec, payload, params = select.select_and_encode_int(
         q, candidates=["int_delta", "int_zz", "int_dod"]
     )

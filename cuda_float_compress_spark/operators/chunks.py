@@ -123,7 +123,8 @@ def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str) -> pa.Array:
+def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str,
+                 validated: bool = True) -> pa.Array:
     sizes = np.where(lengths >= 0, lengths, 0).astype(np.int64)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offsets[1:])
@@ -133,8 +134,19 @@ def _ld_to_arrow(lengths: np.ndarray, data: bytes, ptype: str) -> pa.Array:
         validity = pa.py_buffer(np.packbits(~null_mask, bitorder="little").tobytes())
     # large_string shares large_binary's buffer layout; building it directly
     # skips the cast's UTF8 validation pass (~13% of the 1-core decode floor).
-    # Safe: the data buffer is the decompressed output of our own encoder,
-    # which only ever stored bytes taken from a valid Arrow string column.
+    # Safe WHEN the payload's integrity was established (crc32 verified, or
+    # the caller opted out for a trusted read): the data buffer is then our
+    # own encoder's output, which only ever stored bytes from a valid Arrow
+    # string column. LEGACY tables carry no crc — there a storage bit-flip
+    # could otherwise smuggle invalid UTF-8 into an Arrow string array, so
+    # the validating cast stays on that path (validated=False).
+    if ptype == "string" and not validated:
+        binary = pa.Array.from_buffers(
+            pa.large_binary(), len(lengths),
+            [validity, pa.py_buffer(offsets), pa.py_buffer(data)],
+            null_count=int(null_mask.sum()),
+        )
+        return binary.cast(pa.large_string())  # raises ArrowInvalid on rot
     at = pa.large_string() if ptype == "string" else pa.large_binary()
     return pa.Array.from_buffers(
         at,
@@ -302,16 +314,22 @@ class BlockIntegrityError(ValueError):
 
 
 def decode_column_chunk(
-    payload: bytes, codec: str, params_json: str, n: int, n_nulls: int, ptype: str
+    payload: bytes, codec: str, params_json: str, n: int, n_nulls: int,
+    ptype: str, verify: bool = True
 ) -> pa.Array:
     """Decode one column chunk. Corruption anywhere — bad params JSON,
     checksum mismatch, truncated/garbled compressed sections — raises
     ValueError (BlockIntegrityError for checksum failures), never
     OSError/KeyError/struct.error: a reader must be able to catch one
-    exception type and report WHICH block is bad."""
+    exception type and report WHICH block is bad.
+
+    ``verify=False`` skips the crc32 pass (AND the UTF-8 validation it
+    licenses) for TRUSTED local reads — e.g. re-reading bytes this process
+    just wrote, or a measured kernel floor. The default stays on: at
+    100 TB, storage rot is a when, not an if."""
     try:
         return _decode_column_chunk(payload, codec, params_json, n, n_nulls,
-                                    ptype)
+                                    ptype, verify)
     except (ValueError, TypeError):
         raise
     except Exception as e:
@@ -322,14 +340,16 @@ def decode_column_chunk(
 
 
 def _decode_column_chunk(
-    payload: bytes, codec: str, params_json: str, n: int, n_nulls: int, ptype: str
+    payload: bytes, codec: str, params_json: str, n: int, n_nulls: int,
+    ptype: str, verify: bool = True
 ) -> pa.Array:
     try:
         params = json.loads(params_json)
     except json.JSONDecodeError as e:
         raise ValueError(f"corrupted block params: {e}") from e
     crc = params.pop("_crc", None)
-    if crc is not None:
+    integrity_checked = not verify  # caller vouches when verify=False
+    if crc is not None and verify:
         import zlib
 
         if zlib.crc32(payload) != crc:
@@ -337,10 +357,12 @@ def _decode_column_chunk(
                 f"block payload crc32 mismatch (codec={codec}, "
                 f"ptype={ptype}, n={n}) — storage corruption"
             )
+        integrity_checked = True
 
     if ptype in ("string", "binary"):
         lengths, data = _LD_DECODERS[codec](payload, params, n)
-        return _ld_to_arrow(lengths, data, ptype)
+        return _ld_to_arrow(lengths, data, ptype,
+                            validated=integrity_checked)
 
     if ptype in ("timestamp_us", "timestamp_ntz", "int64", "int32", "date32"):
         inner, valid = _unwrap_nulls(payload, n, n_nulls)

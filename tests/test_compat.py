@@ -58,6 +58,29 @@ def test_lossless_float_roundtrip_bitexact():
     np.testing.assert_array_equal(out.view(np.uint32), v.view(np.uint32))
 
 
+def test_lossy_quantize_refuses_out_of_domain():
+    """inf/nan and |x|/eps >= 2^62 cannot be represented by the int64
+    quantizer; pre-guard they cast to garbage and DECODED silently wrong
+    (1e38 at eps=2e-4 round-tripped with error 1e38). The reference's int32
+    quantizer shares the domain limit without a guard — we refuse loudly
+    and point at the lossless path."""
+    for bad in (
+        np.array([np.inf, 1.0], np.float32),
+        np.array([np.nan], np.float32),
+        np.array([1e38, 0.0], np.float32),
+    ):
+        with pytest.raises(ValueError, match="lossless"):
+            compat.cuszplus_compress(bad, 1e-4)
+    # the same values are fine through the lossless API
+    v = np.array([np.inf, -np.inf, np.nan, 1e38, -0.0], np.float32)
+    out = compat.cuszplus_decompress(compat.compress_lossless_f32(v))
+    np.testing.assert_array_equal(out.view(np.uint32), v.view(np.uint32))
+    # and in-domain large values still honor the bound
+    big = np.array([1e9, -1e9, 123.456], np.float32)
+    dec = compat.cuszplus_decompress(compat.cuszplus_compress(big, 0.01))
+    assert np.abs(dec - big).max() <= 0.01 * (1 + 1e-6)
+
+
 def test_header_probe_and_errors():
     v = np.zeros(100, dtype=np.float32)
     blob = compat.cuszplus_compress(v, 1e-3)

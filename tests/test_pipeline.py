@@ -364,6 +364,54 @@ def test_date_predicate_int_days_literal(spark, scratch):
     assert got.count() == expected.count() > 0
 
 
+def test_legacy_chunks_keep_utf8_validation_and_verify_optout():
+    """Three integrity tiers for string chunks: (1) crc-carrying chunks take
+    the fast unvalidated large_string build (crc covers corruption);
+    (2) LEGACY chunks without _crc must keep the VALIDATING cast — rotted
+    bytes there would otherwise become an invalid-UTF8 Arrow string array
+    that propagates silently; (3) verify=False (trusted local read) skips
+    both the crc pass and the validation."""
+    import json as _json
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import chunks as C
+
+    # invalid UTF-8 payload, encoded through the binary path (same wire
+    # format as string chunks — this emulates a rotted legacy string block)
+    bad_utf8 = [b"ok ascii", b"\xff\xfe broken", b"fine"]
+    arr = pa.array(bad_utf8, type=pa.large_binary())
+    codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
+        arr, "binary"
+    )
+    params = _json.loads(params_json)
+    assert "_crc" in params  # new chunks always carry the checksum
+    legacy_params = _json.dumps(
+        {k: v for k, v in params.items() if k != "_crc"}
+    )
+    # legacy (no crc) + string ptype -> validation must reject the bytes
+    with _pytest.raises(ValueError):  # pa.ArrowInvalid subclasses ValueError
+        C.decode_column_chunk(payload, codec, legacy_params, n, n_nulls,
+                              "string")
+    # legacy + VALID text decodes fine through the validating path
+    good = pa.array([b"hello", b"world"], type=pa.large_binary())
+    c2, p2, pj2, n2, nn2 = C.encode_column_chunk(good, "binary")
+    pj2_legacy = _json.dumps({
+        k: v for k, v in _json.loads(pj2).items() if k != "_crc"
+    })
+    out = C.decode_column_chunk(p2, c2, pj2_legacy, n2, nn2, "string")
+    assert out.to_pylist() == ["hello", "world"]
+    # verify=False skips the crc pass entirely (trusted local read): a
+    # wrong stored crc goes unnoticed, by design
+    wrong_crc = _json.dumps({**_json.loads(pj2), "_crc": 12345})
+    with _pytest.raises(C.BlockIntegrityError):
+        C.decode_column_chunk(p2, c2, wrong_crc, n2, nn2, "string")
+    out = C.decode_column_chunk(p2, c2, wrong_crc, n2, nn2, "string",
+                                verify=False)
+    assert out.to_pylist() == ["hello", "world"]
+
+
 def test_block_corruption_detected(spark, tmp_path, scratch):
     """Per-block crc32: a storage bit-flip inside a compressed payload no
     longer decompresses into silently-wrong values (observed pre-fix: a
