@@ -846,7 +846,11 @@ def _media_features(spark, sf_dir):
     magic = (
         F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
         .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FFE0")))
-        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("52494646")))
+        # a REAL RIFF/WAVE prefix (RIFF + chunk size + WAVE): the sniffer
+        # classifies audio/wav only on the WAVE subtype — a bare 'RIFF'
+        # magic is some other RIFF family and falls to octet-stream
+        .when(F.col("doc_id") % 4 == 2,
+              F.unhex(F.lit("524946460000000057415645")))
         .otherwise(F.unhex(F.lit("00")))
     )
     web = docs.select(
@@ -2003,7 +2007,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
                         WHEN 2 THEN 'audio/wav'
                         ELSE 'application/octet-stream' END AS media_type,
-                   (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 4
+                   (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12
                          ELSE 1 END
                     + octet_length(encode(text)))::BIGINT AS n_bytes
             FROM documents

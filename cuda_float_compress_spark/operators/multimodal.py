@@ -34,7 +34,6 @@ _MAGICS = {
     b"GIF8": "image/gif",
     b"BM": "image/bmp",
     b"P6": "image/x-portable-pixmap",
-    b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
     b"\x1aE\xdf\xa3": "video/webm",
 }
@@ -47,7 +46,11 @@ def sniff_media_type(payload: bytes) -> str:
             return "image/webp"
         if sub == b"AVI ":
             return "video/x-msvideo"
-        return "audio/wav"
+        if sub == b"WAVE":
+            return "audio/wav"
+        # other RIFF families (RMID, CDDA, ANI, ...) are not audio — fall
+        # through to the unknown path rather than mislabel them
+        return "application/octet-stream"
     for magic, mt in _MAGICS.items():
         if payload[: len(magic)] == magic:
             return mt
@@ -522,10 +525,25 @@ def extract_media_features(
                     entropy = float(-(p * np.log2(p)).sum())
                 else:
                     entropy = 0.0
+                dims = None
                 try:
                     img = decode_image(b, fake=fake_decode) if len(b) else None
+                    if img is not None:
+                        dims = (img.shape[1], img.shape[0])
                 except (ValueError, NotImplementedError, struct.error):
                     img = None  # magic-like prefix on non-image bytes
+                    # lossy WebP: pixels are out of decode scope, but the
+                    # keyframe header carries real dimensions (RFC 6386
+                    # uncompressed part) — report those instead of 0x0
+                    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        from cuda_float_compress_spark.operators.webp import (
+                            webp_dims,
+                        )
+
+                        try:
+                            dims = webp_dims(b)
+                        except (ValueError, NotImplementedError):
+                            dims = None
                 rows.append(
                     (
                         u,
@@ -533,8 +551,8 @@ def extract_media_features(
                         len(b),
                         b[:4].hex(),
                         round(entropy, 6),
-                        img.shape[1] if img is not None else 0,
-                        img.shape[0] if img is not None else 0,
+                        dims[0] if dims is not None else 0,
+                        dims[1] if dims is not None else 0,
                     )
                 )
             yield pd.DataFrame(

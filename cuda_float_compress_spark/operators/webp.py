@@ -499,6 +499,68 @@ def _inv_color_indexing(img, palette, width_bits, w, h):
 # ---------------------------------------------------------------------------
 
 
+def vp8_keyframe_dims(body: bytes) -> tuple[int, int]:
+    """Lossy VP8 ('VP8 ' chunk) keyframe dimensions from the UNCOMPRESSED
+    part of the frame header (RFC 6386 §9.1): a 3-byte little-endian frame
+    tag (bit 0 = interframe flag, bits 1-3 version, bit 4 show_frame, bits
+    5-23 first-partition size), the 3-byte start code 9D 01 2A, then two
+    16-bit LE fields carrying 14-bit width/height plus 2-bit upscale codes.
+    No boolean decoding required.
+
+    Full PIXEL decode is deliberately out of scope: it needs RFC 6386's
+    large constant tables (default coefficient probabilities [4][8][3][11],
+    keyframe b-mode probabilities [10][10][9], the 128-entry dc/ac
+    quantizer lookups) which cannot be faithfully reproduced without the
+    RFC text in hand — the same boundary as arithmetic JPEG's Qe table
+    (operators/jpeg.py). Wrong tables would decode real files into silent
+    garbage (exactly the twin-masked bug class fixed in the r6 VP8L
+    transforms), so pixels stay a typed NotImplementedError while type +
+    dimensions are now real."""
+    if len(body) < 10:
+        raise ValueError("truncated VP8 chunk")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise NotImplementedError(
+            "VP8 interframe — only keyframe headers are parsed"
+        )
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    wv = body[6] | (body[7] << 8)
+    hv = body[8] | (body[9] << 8)
+    return wv & 0x3FFF, hv & 0x3FFF
+
+
+def webp_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a WebP payload from headers only — works for
+    lossless (VP8L header) AND lossy (VP8 keyframe header) variants, plus
+    VP8X extended files (canvas size). Cheap: no entropy decoding."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X chunk")
+            w = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            h = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            return w, h
+        if tag == b"VP8L":
+            br = _LsbReader(body)
+            if br.read(8) != 0x2F:
+                raise ValueError("bad VP8L signature")
+            return br.read(14) + 1, br.read(14) + 1
+        if tag == b"VP8 ":
+            return vp8_keyframe_dims(body)
+        pos += 8 + size + (size & 1)
+    raise ValueError("no image chunk in WebP payload")
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """WebP bytes -> HxWx3 RGB uint8 (alpha dropped, like decode_png).
 

@@ -455,6 +455,27 @@ def test_pairwise_topk_per_query(spark, emb):
 # --- multimodal -------------------------------------------------------------------
 
 
+def test_media_features_lossy_webp_dims(spark):
+    """A lossy-VP8 WebP payload gets real header dimensions through the
+    Spark extractor even though pixel decode refuses it (typed boundary):
+    type image/webp, dims from the RFC 6386 uncompressed keyframe header."""
+    import struct as _struct
+
+    part = 16
+    tag = (0) | (1 << 4) | (part << 5)
+    body = (bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            + b"\x9d\x01\x2a" + _struct.pack("<HH", 320, 200)
+            + b"\x00" * part)
+    riff = b"WEBP" + b"VP8 " + _struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + _struct.pack("<I", len(riff)) + riff
+    df = spark.createDataFrame(
+        [("u1", bytearray(payload))], "url string, html binary"
+    )
+    row = multimodal.extract_media_features(df, "url", "html").collect()[0]
+    assert row["media_type"] == "image/webp"
+    assert (row["fake_width"], row["fake_height"]) == (320, 200)
+
+
 def test_media_features_plumbing(spark):
     from cuda_float_compress_spark.table import generate_webpages_df
 
@@ -744,6 +765,46 @@ def test_webp_lossless_roundtrip_all_paths():
     assert np.array_equal(W.decode_webp(enc), flat)
     # decode_image dispatches on the RIFF/WEBP magic
     assert np.array_equal(multimodal.decode_image(enc), flat)
+
+
+def test_vp8_lossy_keyframe_dims_probe():
+    """Lossy-WebP (VP8) dimensions come from the UNCOMPRESSED keyframe
+    header (RFC 6386 9.1) — no probability tables needed. Pixel decode
+    stays a typed refusal (tables not reproducible), but type + dims are
+    real; interframes and corrupt start codes keep the error contract."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import multimodal, webp as W
+
+    def vp8_file(w, h, interframe=False, bad_code=False):
+        part_size = 32
+        tag = (1 if interframe else 0) | (0 << 1) | (1 << 4) | (part_size << 5)
+        body = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        body += b"\x9d\x01\x2b" if bad_code else b"\x9d\x01\x2a"
+        body += _struct.pack("<HH", w | (0 << 14), h | (1 << 14))  # scale bits
+        body += b"\x00" * part_size
+        riff = b"WEBP" + b"VP8 " + _struct.pack("<I", len(body)) + body
+        return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+    assert W.webp_dims(vp8_file(640, 480)) == (640, 480)
+    assert W.vp8_keyframe_dims(vp8_file(1, 16383)[20:]) == (1, 16383)
+    with _pytest.raises(NotImplementedError, match="interframe"):
+        W.webp_dims(vp8_file(640, 480, interframe=True))
+    with _pytest.raises(ValueError, match="start code"):
+        W.webp_dims(vp8_file(640, 480, bad_code=True))
+    # lossless files agree between header probe and full decode
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 12, 3), dtype=np.uint8)
+    enc = W.encode_webp_lossless(img)
+    assert W.webp_dims(enc) == (12, 7)
+    # pixel decode still refuses lossy VP8 with the documented reason
+    with _pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(vp8_file(8, 8))
+    # and the media extractor surfaces the real header dims for lossy files
+    assert multimodal.sniff_media_type(vp8_file(320, 200)) == "image/webp"
 
 
 def test_webp_color_transform_element_byte_layout():
