@@ -463,9 +463,11 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
     base_ts = 1_700_000_000_000
     schema_json = None
     last_col = 0
+    snap_seq: dict[int, int] = {}  # snapshot id -> its sequence number
     for si, dfs in enumerate(snapshots_rows):
         snap_id = 1000 + si
         seq = si + 1
+        snap_seq[snap_id] = seq
         ts = base_ts + si * 60_000
         added_files = 0
         added_rows = 0
@@ -495,9 +497,17 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
                 }
             )
         # files carried over from earlier snapshots are EXISTING (status 0)
-        # in this snapshot's manifest, not re-added
+        # in this snapshot's manifest, not re-added. v2 sequence-number
+        # inheritance (null -> manifest-list value) applies ONLY to ADDED
+        # entries; EXISTING entries must carry the sequence number of the
+        # snapshot that added them explicitly (Java's ManifestReader
+        # rejects status-0 entries with null sequence numbers).
         entries = [
-            dict(e, status=1 if e["snapshot_id"] == snap_id else 0)
+            dict(e, status=1) if e["snapshot_id"] == snap_id else dict(
+                e, status=0,
+                sequence_number=snap_seq[e["snapshot_id"]],
+                file_sequence_number=snap_seq[e["snapshot_id"]],
+            )
             for e in all_entries
         ]
         existing_files = len(entries) - added_files

@@ -304,6 +304,14 @@ def test_iceberg_v2_spec_conformance(tmp_path):
                     if e["status"] == 1
                 ) == mf["added_rows_count"]
                 for e in entries:
+                    # sequence-number inheritance (null -> manifest-list
+                    # value) applies only to ADDED entries; EXISTING ones
+                    # must carry the adding snapshot's sequence number
+                    # explicitly or Java's ManifestReader rejects them
+                    if e["status"] == 0:
+                        assert e["sequence_number"] is not None
+                        assert e["file_sequence_number"] is not None
+                        assert e["sequence_number"] < snap["sequence-number"]
                     df = e["data_file"]
                     for key in ("content", "file_path", "file_format",
                                 "partition", "record_count",
