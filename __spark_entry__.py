@@ -836,6 +836,50 @@ def _iceberg_rest_read_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _delta_read_agg(spark, sf_dir):
+    """Delta Lake read path without the Delta runtime: documents written as
+    a THREE-commit Delta table (first half; second half; a rewrite commit
+    that REMOVEs the first-half file and re-adds its rows split in two),
+    read at the current snapshot via the pure-Python log replay
+    (sources/delta.py) — so add/remove replay is on the hash-checked path.
+    The live set equals the full table; the oracle recomputes from raw."""
+    import pandas as pd
+
+    from cuda_float_compress_spark.sources.delta import (
+        read_delta_dir,
+        write_delta_fixture,
+    )
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        pdf = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+            "doc_id"
+        )
+        cut = len(pdf) // 2
+        first, second = pdf.iloc[:cut], pdf.iloc[cut:]
+        write_delta_fixture(out, [
+            {"add": [first]},
+            {"add": [second]},
+            # rewrite: remove commit 0's file (deterministic fixture name),
+            # re-add the same rows split across two files
+            {"add": [first.iloc[: cut // 2], first.iloc[cut // 2:]],
+             "remove": ["part-00000-00000.parquet"]},
+        ])
+        docs = read_delta_dir(spark, out)
+        res = (
+            docs.groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _media_features(spark, sf_dir):
     """Media plumbing over a deterministic binary column: real format magics
     (PNG/JPEG/RIFF) prefixed to document text bytes, sniffed + measured by the
@@ -1178,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
         "iceberg_rest_read_agg": _iceberg_rest_read_agg,
+        "delta_read_agg": _delta_read_agg,
         "html_extract_text": _html_extract_text,
         "pii_redaction": _pii_redaction,
         "media_features": _media_features,
@@ -1941,6 +1986,13 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_read_agg": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        # the Delta remove-replay rewrite preserves content: live set ==
+        # full documents table
+        "delta_read_agg": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang, source
         """,
         # first snapshot = first half of documents in doc_id order (the
         # fixture writes [:n//2] then [n//2:]; time travel selects snap 1)

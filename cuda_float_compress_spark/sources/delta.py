@@ -1,0 +1,330 @@
+"""Delta Lake table reads without the Delta runtime (no jars).
+
+Second open-table source beside Iceberg (sources/iceberg.py): the Delta
+transaction log is newline-delimited JSON under ``_delta_log/`` (public
+protocol: github.com/delta-io/delta PROTOCOL.md), so the read path is a
+pure-Python log replay:
+
+* ``NNNNNNNNNNNNNNNNNNNN.json`` commit files, one action per line:
+  ``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``commitInfo``
+* snapshot state at version V = replay commits 0..V; the live file set is
+  the ``add`` actions whose paths were not later ``remove``d (last action
+  per path wins)
+* ``_last_checkpoint`` + ``*.checkpoint.parquet``: a parquet-compacted
+  snapshot of the replay state; when present, reading starts from the
+  checkpoint and replays only later JSON commits (the 100 TB path: a
+  million-commit log is NOT re-read per query)
+* time travel: by version (replay stops early) or by timestamp (last
+  commit whose ``commitInfo.timestamp`` / file mtime is <= the bound)
+
+Scope: parquet data files, reader protocol version 1 (no deletion
+vectors / column mapping — those raise NotImplementedError with the
+protocol field named), unpartitioned tables (partition values live in
+the log, not the files; refused loudly rather than silently dropping
+the column). ``write_delta_fixture`` is the test/oracle twin, mirroring
+``write_iceberg_fixture``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cuda_float_compress_spark.sources.iceberg import _strip_scheme
+
+
+def _log_versions(log_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for name in os.listdir(log_dir):
+        base, ext = os.path.splitext(name)
+        if ext == ".json" and base.isdigit():
+            out.append((int(base), os.path.join(log_dir, name)))
+    return sorted(out)
+
+
+def _read_checkpoint(log_dir: str) -> tuple[int, list[dict]] | None:
+    """(checkpoint_version, live add actions) from _last_checkpoint, or
+    None when the table has no checkpoint yet."""
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc_path):
+        return None
+    import pyarrow.parquet as pq
+
+    with open(lc_path) as f:
+        lc = json.load(f)
+    version = int(lc["version"])
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if not os.path.exists(cp_path):
+        raise ValueError(
+            f"_last_checkpoint names version {version} but "
+            f"{os.path.basename(cp_path)} is missing"
+        )
+    tbl = pq.read_table(cp_path)
+    adds = []
+    for row in tbl.to_pylist():
+        add = row.get("add")
+        if add and add.get("path"):
+            adds.append({k: v for k, v in add.items() if v is not None})
+        # checkpoints may carry remove tombstones for vacuum bookkeeping;
+        # they are NOT part of the live file set and are skipped here
+    return version, adds
+
+
+def _replay(table_dir: str, version: int | None = None,
+            as_of_ms: int | None = None) -> tuple[dict, list[dict]]:
+    """Replay the transaction log; returns (metaData action, live adds)."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table (no _delta_log): {table_dir}")
+    commits = _log_versions(log_dir)
+    if not commits:
+        raise ValueError(f"empty _delta_log in {table_dir}")
+
+    if as_of_ms is not None:
+        # last version whose commit timestamp <= bound (commitInfo
+        # timestamp preferred; file mtime as the protocol-sanctioned
+        # fallback)
+        chosen = None
+        for v, path in commits:
+            ts = None
+            with open(path) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        ts = act["commitInfo"].get("timestamp")
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(path) * 1000)
+            if ts <= as_of_ms:
+                chosen = v
+        if chosen is None:
+            raise ValueError(
+                f"no Delta commit at or before timestamp {as_of_ms}"
+            )
+        version = chosen
+
+    if version is not None and (
+        version < 0 or version > commits[-1][0]
+    ):
+        raise ValueError(f"Delta version {version} does not exist")
+
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    start = 0
+    cp = _read_checkpoint(log_dir)
+    if cp is not None and (version is None or cp[0] <= version):
+        start = cp[0] + 1
+        for add in cp[1]:
+            live[add["path"]] = add
+        # metaData must still come from the log when the checkpoint rows
+        # didn't carry it — fall through to JSON replay below, plus a
+        # backward scan for the latest metaData at or before the checkpoint
+        for v, path in reversed(commits):
+            if v > cp[0]:
+                continue
+            with open(path) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        meta = act["metaData"]
+                        break
+            if meta is not None:
+                break
+
+    for v, path in commits:
+        if v < start:
+            continue
+        if version is not None and v > version:
+            break
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    p = act["protocol"]
+                    if int(p.get("minReaderVersion", 1)) > 1:
+                        feats = p.get("readerFeatures") or [
+                            f"minReaderVersion={p['minReaderVersion']}"
+                        ]
+                        raise NotImplementedError(
+                            "Delta reader protocol features not supported: "
+                            f"{feats} (deletion vectors / column mapping "
+                            "need reader version > 1)"
+                        )
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "add" in act:
+                    a = act["add"]
+                    live[a["path"]] = a
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+    if meta is None:
+        raise ValueError("Delta log has no metaData action")
+    fmt = (meta.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise NotImplementedError(f"Delta data format '{fmt}' != parquet")
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "partitioned Delta tables not supported: partition values live "
+            f"in the log, not the files ({meta['partitionColumns']}); "
+            "reading would silently drop those columns"
+        )
+    return meta, sorted(live.values(), key=lambda a: a["path"])
+
+
+def read_delta_dir(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Read a Delta table directory: log replay -> parquet scan, with
+    version / timestamp time travel. Column pruning and predicate pushdown
+    stay with Spark's parquet source (the log only decides WHICH files)."""
+    table_dir = _strip_scheme(table_dir)
+    _, adds = _replay(table_dir, version, as_of_ms)
+    if not adds:
+        raise ValueError("Delta snapshot has no live data files")
+    paths = [
+        a["path"] if os.path.isabs(a["path"])
+        else os.path.join(table_dir, a["path"])
+        for a in adds
+    ]
+    return spark.read.parquet(*paths)
+
+
+def delta_snapshot_info(table_dir: str) -> list[dict]:
+    """[{'version', 'n_files', 'n_records'}] per version — driver-side
+    metadata only (record counts from the add actions' stats)."""
+    table_dir = _strip_scheme(table_dir)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    out = []
+    for v, _ in _log_versions(log_dir):
+        _, adds = _replay(table_dir, version=v)
+        n_records = 0
+        for a in adds:
+            stats = a.get("stats")
+            if stats:
+                n_records += int(json.loads(stats).get("numRecords", 0))
+        out.append({"version": v, "n_files": len(adds),
+                    "n_records": n_records})
+    return out
+
+
+def write_delta_fixture(table_dir: str, commits: list[dict],
+                        checkpoint_at: int | None = None) -> dict:
+    """Write a real (minimal, protocol-v1) Delta table for tests/oracles —
+    the fixture twin of the reader, mirroring write_iceberg_fixture.
+
+    ``commits``: list of {'add': [DataFrame, ...], 'remove': [path, ...]}.
+    Each add DataFrame becomes one parquet file. ``checkpoint_at``: also
+    write a checkpoint parquet + _last_checkpoint at that version.
+    Returns {'versions': [...], 'timestamps_ms': [...], 'paths': [[...]]}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ddir = table_dir
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    base_ts = 1_700_000_000_000
+    versions, timestamps, all_paths = [], [], []
+    live: dict[str, dict] = {}
+    schema_string = None
+    for v, commit in enumerate(commits):
+        ts = base_ts + v * 60_000
+        actions = []
+        if v == 0:
+            actions.append({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}})
+        paths = []
+        for i, df in enumerate(commit.get("add", [])):
+            rel = f"part-{v:05d}-{i:05d}.parquet"
+            fpath = os.path.join(ddir, rel)
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            pq.write_table(tbl, fpath)
+            if schema_string is None:
+                schema_string = json.dumps({
+                    "type": "struct",
+                    "fields": [
+                        {"name": n, "type": _delta_type(tbl.schema.field(n)),
+                         "nullable": True, "metadata": {}}
+                        for n in tbl.schema.names
+                    ],
+                })
+                actions.append({"metaData": {
+                    "id": "fixture-table",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": ts,
+                }})
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(fpath),
+                "modificationTime": ts,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": len(df)}),
+            }
+            actions.append({"add": add})
+            live[rel] = add
+            paths.append(rel)
+        for rel in commit.get("remove", []):
+            actions.append({"remove": {
+                "path": rel, "deletionTimestamp": ts, "dataChange": True}})
+            live.pop(rel, None)
+        actions.append({"commitInfo": {
+            "timestamp": ts, "operation": "WRITE"}})
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            for act in actions:
+                f.write(json.dumps(act) + "\n")
+        if checkpoint_at == v:
+            # real checkpoints store partitionValues as map<string,string>;
+            # arrow infers an unwritable empty struct from {} — drop the
+            # empty map (the reader tolerates the absent key)
+            rows = [
+                {"add": {k: x for k, x in a.items()
+                         if not (k == "partitionValues" and not x)}}
+                for a in live.values()
+            ]
+            cp_tbl = pa.Table.from_pylist(rows)
+            pq.write_table(
+                cp_tbl,
+                os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"),
+            )
+            with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+                json.dump({"version": v, "size": len(rows)}, f)
+        versions.append(v)
+        timestamps.append(ts)
+        all_paths.append(paths)
+    return {"versions": versions, "timestamps_ms": timestamps,
+            "paths": all_paths}
+
+
+def _delta_type(field) -> str:
+    import pyarrow as pa
+
+    t = field.type
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_int32(t):
+        return "integer"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date32(t):
+        return "date"
+    return "string"

@@ -1,0 +1,167 @@
+"""Delta Lake source: log replay, removes, time travel, checkpoints,
+protocol refusals. Fixture twin = write_delta_fixture (sources/delta.py),
+mirroring the Iceberg test strategy."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from cuda_float_compress_spark.sources.delta import (
+    delta_snapshot_info,
+    read_delta_dir,
+    write_delta_fixture,
+)
+
+
+def _fixture(tmp_path, checkpoint_at=None):
+    tdir = str(tmp_path / "delta_table")
+    info = write_delta_fixture(
+        tdir,
+        [
+            {"add": [pd.DataFrame({"id": [1, 2], "v": ["a", "b"]})]},
+            {"add": [pd.DataFrame({"id": [3], "v": ["c"]}),
+                     pd.DataFrame({"id": [4, 5], "v": ["d", "e"]})]},
+        ],
+        checkpoint_at=checkpoint_at,
+    )
+    return tdir, info
+
+
+def _fixture_with_remove(tmp_path, checkpoint_at=None):
+    tdir = str(tmp_path / "delta_rm")
+    first = pd.DataFrame({"id": [1, 2], "v": ["a", "b"]})
+    info = write_delta_fixture(
+        tdir,
+        [
+            {"add": [first]},
+            {"add": [pd.DataFrame({"id": [3, 4, 5], "v": ["c", "d", "e"]})]},
+        ],
+        checkpoint_at=checkpoint_at,
+    )
+    # third commit: remove commit-0's file, re-add the same rows split
+    info2 = write_delta_fixture_extra(
+        tdir, info,
+        add=[pd.DataFrame({"id": [1], "v": ["a"]}),
+             pd.DataFrame({"id": [2], "v": ["b"]})],
+        remove=info["paths"][0],
+    )
+    return tdir, info2
+
+
+def write_delta_fixture_extra(tdir, info, add, remove):
+    """Append one more commit to an existing fixture (add + remove)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v = info["versions"][-1] + 1
+    ts = info["timestamps_ms"][-1] + 60_000
+    actions = []
+    paths = []
+    for i, df in enumerate(add):
+        rel = f"part-{v:05d}-{i:05d}.parquet"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(tdir, rel))
+        actions.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(tdir, rel)),
+            "modificationTime": ts, "dataChange": True,
+            "stats": json.dumps({"numRecords": len(df)}),
+        }})
+        paths.append(rel)
+    for rel in remove:
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": ts, "dataChange": True}})
+    actions.append({"commitInfo": {"timestamp": ts, "operation": "WRITE"}})
+    with open(os.path.join(tdir, "_delta_log", f"{v:020d}.json"), "w") as f:
+        for act in actions:
+            f.write(json.dumps(act) + "\n")
+    info = dict(info)
+    info["versions"] = info["versions"] + [v]
+    info["timestamps_ms"] = info["timestamps_ms"] + [ts]
+    info["paths"] = info["paths"] + [paths]
+    return info
+
+
+def test_delta_read_current_and_versions(spark, tmp_path):
+    tdir, info = _fixture_with_remove(tmp_path)
+    cur = read_delta_dir(spark, tdir)
+    assert sorted(r["id"] for r in cur.collect()) == [1, 2, 3, 4, 5]
+    v0 = read_delta_dir(spark, tdir, version=0)
+    assert sorted(r["id"] for r in v0.collect()) == [1, 2]
+    v1 = read_delta_dir(spark, tdir, version=1)
+    assert sorted(r["id"] for r in v1.collect()) == [1, 2, 3, 4, 5]
+    # the rewrite commit removed commit-0's file: same rows, more files
+    infos = delta_snapshot_info(tdir)
+    assert [i["n_files"] for i in infos] == [1, 2, 3]
+    assert [i["n_records"] for i in infos] == [2, 5, 5]
+    with pytest.raises(ValueError, match="does not exist"):
+        read_delta_dir(spark, tdir, version=9)
+
+
+def test_delta_timestamp_travel(spark, tmp_path):
+    tdir, info = _fixture_with_remove(tmp_path)
+    ts0, ts1 = info["timestamps_ms"][0], info["timestamps_ms"][1]
+    old = read_delta_dir(spark, tdir, as_of_ms=ts0)
+    assert sorted(r["id"] for r in old.collect()) == [1, 2]
+    mid = read_delta_dir(spark, tdir, as_of_ms=ts1 + 1)
+    assert sorted(r["id"] for r in mid.collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="no Delta commit"):
+        read_delta_dir(spark, tdir, as_of_ms=ts0 - 1)
+
+
+def test_delta_checkpoint_replay(spark, tmp_path):
+    """Reads start from the checkpoint parquet and replay only later JSON
+    commits — a post-checkpoint remove of a pre-checkpoint file must still
+    apply."""
+    tdir, info = _fixture_with_remove(tmp_path, checkpoint_at=1)
+    assert os.path.exists(
+        os.path.join(tdir, "_delta_log", "_last_checkpoint")
+    )
+    cur = read_delta_dir(spark, tdir)
+    assert sorted(r["id"] for r in cur.collect()) == [1, 2, 3, 4, 5]
+    # version BEFORE the checkpoint still resolves (pure JSON replay)
+    v0 = read_delta_dir(spark, tdir, version=0)
+    assert sorted(r["id"] for r in v0.collect()) == [1, 2]
+    # the removed pre-checkpoint file is not in the live set
+    from cuda_float_compress_spark.sources.delta import _replay
+
+    _, adds = _replay(tdir)
+    assert info["paths"][0][0] not in {a["path"] for a in adds}
+
+
+def test_delta_refusals(spark, tmp_path):
+    tdir, _ = _fixture(tmp_path)
+    # unsupported reader protocol (deletion vectors era)
+    log = os.path.join(tdir, "_delta_log")
+    v = len(os.listdir(log))  # next version (no checkpoint files here)
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3,
+            "readerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_dir(spark, tdir)
+    # but time travel to before that commit still works
+    ok = read_delta_dir(spark, tdir, version=1)
+    assert ok.count() == 5
+    with pytest.raises(ValueError, match="_delta_log"):
+        read_delta_dir(spark, str(tmp_path / "nope"))
+
+
+def test_delta_partitioned_refused(spark, tmp_path):
+    tdir, _ = _fixture(tmp_path)
+    # rewrite version 0's metaData to declare a partition column
+    log = os.path.join(tdir, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log)]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["partitionColumns"] = ["v"]
+    with open(log, "w") as f:
+        for act in lines:
+            f.write(json.dumps(act) + "\n")
+    with pytest.raises(NotImplementedError, match="partition"):
+        read_delta_dir(spark, tdir)
