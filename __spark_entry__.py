@@ -536,6 +536,15 @@ def _bigram_topk(spark, sf_dir):
     )
 
 
+def _top_ngram_stats(spark, sf_dir):
+    """Top unigram/bigram concentration per doc (Gopher repetition rule):
+    distributed explode+groupBy, partial-agg-bounded shuffle."""
+    from cuda_float_compress_spark.operators.text import top_ngram_fractions
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngram_fractions(docs)
+
+
 def _repetition_scores(spark, sf_dir):
     """Within-document repetition (duplicate-line / duplicate-word
     fractions) — the Gopher-style boilerplate signal."""
@@ -1196,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_topk": _bigram_topk,
         "doc_freq_topk": _doc_freq_topk,
         "repetition_scores": _repetition_scores,
+        "top_ngram_stats": _top_ngram_stats,
         "pivot_linestatus": _pivot_linestatus,
         "set_ops_langs": _set_ops_langs,
         "distinct_counts": _distinct_counts,
@@ -1847,6 +1857,40 @@ def oracle_sql() -> dict[str, str]:
                    round((len(words) - len(list_distinct(words)))::DOUBLE
                          / greatest(len(words), 1), 6) AS dup_word_frac
             FROM t
+        """,
+        "top_ngram_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           s -> length(s) > 0) AS words
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(words) AS w FROM t),
+            uc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            u AS (SELECT doc_id, max(c) AS top_u, sum(c) AS n_words
+                  FROM uc GROUP BY 1),
+            bgl AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1]) AS bgs
+                FROM t WHERE len(words) >= 2
+            ),
+            bgt AS (SELECT doc_id, unnest(bgs) AS g FROM bgl),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bgt GROUP BY 1, 2),
+            b AS (SELECT doc_id, max(c) AS top_b, sum(c) AS n_bg
+                  FROM bc GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(u.n_words, 0)::BIGINT AS n_words,
+                   round(coalesce(u.top_u, 0)::DOUBLE
+                         / greatest(coalesce(u.n_words, 0), 1), 6)
+                       AS top_word_frac,
+                   round(coalesce(b.top_b, 0)::DOUBLE
+                         / greatest(coalesce(b.n_bg, 0), 1), 6)
+                       AS top_bigram_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
         """,
         "doc_freq_topk": """
             WITH tk AS (

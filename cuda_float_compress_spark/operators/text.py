@@ -192,6 +192,63 @@ def with_repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
+def top_ngram_fractions(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style top-n-gram concentration per document: the share of
+    word occurrences taken by the single most frequent unigram and bigram.
+    A page whose top bigram covers 20% of it is navigation/boilerplate.
+
+    Distributed shape (NOT per-row array ops): explode -> groupBy
+    (id, gram) -> groupBy id, so Spark's map-side partial aggregation
+    bounds the shuffle by the number of DISTINCT grams per partition —
+    the same plan at 100 TB. Docs with no words report 0.0 fractions."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda s: F.length(s) > 0,
+    )
+    base = df.select(F.col(id_col), words.alias("_words"))
+    toks = base.select(id_col, F.explode("_words").alias("w"))
+    uni = (
+        toks.groupBy(id_col, "w").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_u"), F.sum("count").alias("n_words"))
+    )
+    # adjacent-pair bigrams built JVM-side (zip_with of the two slices),
+    # then the same explode/agg shape
+    n = F.size("_words")
+    bigrams = F.zip_with(
+        F.slice("_words", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_words", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        base.select(id_col, F.explode(bigrams).alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_b"), F.sum("count").alias("_n_bg"))
+    )
+    out = (
+        df.select(id_col).distinct()
+        .join(uni, id_col, "left")
+        .join(bg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.round(
+                F.coalesce("_top_u", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_word_frac"),
+            F.round(
+                F.coalesce("_top_b", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("_n_bg", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized text.
     md5 (not xxhash64) so the DuckDB oracle computes the identical value."""

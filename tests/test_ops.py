@@ -68,6 +68,32 @@ def test_repetition_scores_pinned(spark):
     assert got[4]["dup_line_frac"] == 0.0 and got[4]["dup_word_frac"] == 0.0
 
 
+def test_top_ngram_fractions_pinned(spark):
+    """Gopher top-n-gram concentration: hand-computed fractions, including
+    the degenerate docs (empty text -> 0s, one word -> no bigrams)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat the dog"),  # the:3/6; 'the cat':2/5
+            (2, "one"),                      # 1 word, 0 bigrams
+            (3, "   "),                      # no words at all
+            (4, "A a a b"),                  # lowercased: a:3/4
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.top_ngram_fractions(df).collect()}
+    assert got[1]["n_words"] == 6
+    assert got[1]["top_word_frac"] == 0.5
+    assert got[1]["top_bigram_frac"] == 0.4
+    assert got[2]["n_words"] == 1 and got[2]["top_word_frac"] == 1.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
+    assert got[4]["top_word_frac"] == 0.75
+    # scale shape: the aggregate must be partial (map-side combine), not a
+    # full-row shuffle of raw tokens beyond the (id, gram) key
+    plan = text.top_ngram_fractions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_fingerprint_identical_for_identical_text(spark):
     df = spark.createDataFrame(
         [(1, "same  text"), (2, "same text"), (3, "other")], ["id", "text"]
