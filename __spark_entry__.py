@@ -545,6 +545,36 @@ def _top_ngram_stats(spark, sf_dir):
     return top_ngram_fractions(docs)
 
 
+def _url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization for URL-level dedup: deterministic messy URLs
+    (mixed-case hosts, default ports, fragments, utm/gclid tracking params,
+    root slashes, non-default ports kept) synthesized from doc_id, then the
+    rule-chain canonicalizer + host extraction. The oracle replays the
+    IDENTICAL chain in DuckDB's regex dialect."""
+    from cuda_float_compress_spark.operators.text import with_canonical_url
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTP://WWW.Example.COM:80/Path"), d,
+                        F.lit("/?utm_source=x&id="), d))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://Example.com:443/a/"), d,
+                       F.lit("#frag")))
+        .when(F.col("doc_id") % 6 == 2, F.lit("https://Shop.example.com/"))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("http://sub.EXAMPLE.com/p"), d,
+                       F.lit("?a=1&utm_medium=m")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://other.org/x?gclid=123&utm_campaign=c"
+                             "&q="), d))
+        .otherwise(F.concat(F.lit("http://news.example.com:8080/v?id="), d))
+    )
+    seeded = docs.select("doc_id", url.alias("url"))
+    return with_canonical_url(seeded).select("doc_id", "canon_url", "host")
+
+
 def _repetition_scores(spark, sf_dir):
     """Within-document repetition (duplicate-line / duplicate-word
     fractions) — the Gopher-style boilerplate signal."""
@@ -1206,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_freq_topk": _doc_freq_topk,
         "repetition_scores": _repetition_scores,
         "top_ngram_stats": _top_ngram_stats,
+        "url_canonical_dedup": _url_canonical_dedup,
         "pivot_linestatus": _pivot_linestatus,
         "set_ops_langs": _set_ops_langs,
         "distinct_counts": _distinct_counts,
@@ -1857,6 +1888,59 @@ def oracle_sql() -> dict[str, str]:
                    round((len(words) - len(list_distinct(words)))::DOUBLE
                          / greatest(len(words), 1), 6) AS dup_word_frac
             FROM t
+        """,
+        # identical canonicalization rule chain, DuckDB regex dialect
+        # (\\1 replacement groups, explicit 'g' only where multiple
+        # matches are possible — DuckDB replaces first-only by default)
+        "url_canonical_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE doc_id % 6
+                         WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path'
+                              || doc_id || '/?utm_source=x&id=' || doc_id
+                         WHEN 1 THEN 'https://Example.com:443/a/'
+                              || doc_id || '#frag'
+                         WHEN 2 THEN 'https://Shop.example.com/'
+                         WHEN 3 THEN 'http://sub.EXAMPLE.com/p' || doc_id
+                              || '?a=1&utm_medium=m'
+                         WHEN 4 THEN
+                              'https://other.org/x?gclid=123&utm_campaign=c&q='
+                              || doc_id
+                         ELSE 'http://news.example.com:8080/v?id=' || doc_id
+                       END AS url
+                FROM documents
+            ),
+            c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u
+                   FROM u),
+            c2 AS (SELECT doc_id,
+                          lower(regexp_extract(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*'))
+                          || substr(u, length(regexp_extract(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*')) + 1)
+                              AS u
+                   FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+                              '^(http://[^/?:]+):80([/?].*|$)', '\\1\\2'),
+                              '^(https://[^/?:]+):443([/?].*|$)', '\\1\\2')
+                              AS u
+                   FROM c2),
+            c4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\\.',
+                              '\\1') AS u
+                   FROM c3),
+            c5 AS (SELECT doc_id, regexp_replace(u,
+                              '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g')
+                              AS u
+                   FROM c4),
+            c6 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(regexp_replace(u,
+                              '\\?&', '?'), '[?&]$', ''),
+                              '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1')
+                              AS u
+                   FROM c5)
+            SELECT doc_id, u AS canon_url,
+                   regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?:]+)', 1)
+                       AS host
+            FROM c6
         """,
         "top_ngram_stats": """
             WITH t AS (

@@ -249,6 +249,43 @@ def top_ngram_fractions(df: DataFrame, text_col: str = "text",
     return out
 
 
+def url_canonicalize_col(url: Column) -> Column:
+    """Canonical URL form for URL-level dedup: strip fragment, lowercase
+    scheme+host, drop default ports (http:80 / https:443), drop a leading
+    'www.', remove tracking query params (utm_*, gclid, fbclid), tidy the
+    leftover separators, and drop a bare root slash. Path case and real
+    query params are preserved.
+
+    Every pattern stays inside the RE2-compatible subset (no lookaround,
+    no backrefs) so the DuckDB oracle can run the IDENTICAL rule chain —
+    the same Java-vs-RE2 discipline as the HTML/PII operators."""
+    u = F.regexp_replace(url, "#.*", "")  # fragment never reaches a server
+    prefix = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    u = F.concat(F.lower(prefix), F.substr(u, F.length(prefix) + F.lit(1)))
+    # default ports: the alternation group always participates, so the
+    # replacement is portable (unmatched-group semantics differ by engine)
+    u = F.regexp_replace(u, r"^(http://[^/?:]+):80([/?].*|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?:]+):443([/?].*|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?]+)/$", r"$1")
+    return u
+
+
+def url_host_col(canon_url: Column) -> Column:
+    """Host part of an (already canonical) URL."""
+    return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://([^/?:]+)", 1)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    canon = url_canonicalize_col(F.col(url_col))
+    return df.withColumn("canon_url", canon).withColumn(
+        "host", url_host_col(F.col("canon_url"))
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized text.
     md5 (not xxhash64) so the DuckDB oracle computes the identical value."""

@@ -94,6 +94,35 @@ def test_top_ngram_fractions_pinned(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_url_canonicalize_pinned(spark):
+    """Hand-pinned canonical forms: fragment, case, default ports (kept
+    when non-default), www, tracking params incl. multiples, separator
+    tidy-up, root slash; path case and real params preserved."""
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=7",
+         "http://example.com/Path/?id=7", "example.com"),
+        ("https://Example.com:443/a#frag",
+         "https://example.com/a", "example.com"),
+        ("https://Shop.example.com/", "https://shop.example.com",
+         "shop.example.com"),
+        ("http://sub.EXAMPLE.com/p?a=1&utm_medium=m",
+         "http://sub.example.com/p?a=1", "sub.example.com"),
+        ("https://other.org/x?gclid=123&utm_campaign=c&q=2",
+         "https://other.org/x?q=2", "other.org"),
+        ("http://news.example.com:8080/v?id=3",
+         "http://news.example.com:8080/v?id=3", "news.example.com"),
+        ("https://a.io/p?utm_a=1&utm_b=2", "https://a.io/p", "a.io"),
+        ("not a url at all", "not a url at all", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], ["id", "url"]
+    )
+    got = {r["id"]: r for r in text.with_canonical_url(df).collect()}
+    for i, (_, want_canon, want_host) in enumerate(cases):
+        assert got[i]["canon_url"] == want_canon, (i, got[i]["canon_url"])
+        assert got[i]["host"] == want_host, (i, got[i]["host"])
+
+
 def test_fingerprint_identical_for_identical_text(spark):
     df = spark.createDataFrame(
         [(1, "same  text"), (2, "same text"), (3, "other")], ["id", "text"]
