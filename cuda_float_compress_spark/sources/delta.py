@@ -176,19 +176,85 @@ def _replay(table_dir: str, version: int | None = None,
     return meta, sorted(live.values(), key=lambda a: a["path"])
 
 
+_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _file_may_match(add: dict, col: str, op: str, val) -> bool:
+    """Data skipping: can a file's [minValues, maxValues] stats interval
+    contain a row satisfying (col op val)? Missing stats => must read."""
+    stats = add.get("stats")
+    if not stats:
+        return True
+    stats = json.loads(stats)
+    mins = (stats.get("minValues") or {})
+    maxs = (stats.get("maxValues") or {})
+    lo, hi = mins.get(col), maxs.get(col)
+    if lo is None or hi is None:
+        return True
+    if op == "=":
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    return True
+
+
 def read_delta_dir(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     as_of_ms: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table directory: log replay -> parquet scan, with
-    version / timestamp time travel. Column pruning and predicate pushdown
-    stay with Spark's parquet source (the log only decides WHICH files)."""
+    version / timestamp time travel. Column pruning and row-group pushdown
+    stay with Spark's parquet source; ``predicates`` — [(col, op, value)]
+    with op in =,<,<=,>,>= — additionally prunes FILES from the add
+    actions' minValues/maxValues stats before the scan even lists them
+    (Delta data skipping: at 100 TB the log prune is what keeps a selective
+    query from opening a million files). The predicate is re-applied
+    exactly as a Spark filter, so pruning is a pure I/O optimization."""
     table_dir = _strip_scheme(table_dir)
     _, adds = _replay(table_dir, version, as_of_ms)
     if not adds:
         raise ValueError("Delta snapshot has no live data files")
+    if predicates:
+        for col, op, val in predicates:
+            if op not in _SKIP_OPS:
+                raise ValueError(
+                    f"unsupported skip predicate op {op!r}; "
+                    f"one of {sorted(_SKIP_OPS)}"
+                )
+        adds = [
+            a for a in adds
+            if all(_file_may_match(a, c, o, v) for c, o, v in predicates)
+        ]
+        if not adds:
+            # preserve schema: empty frame over the full file set's schema
+            all_adds = _replay(table_dir, version, as_of_ms)[1]
+            df = _scan(spark, table_dir, all_adds).limit(0)
+        else:
+            df = _scan(spark, table_dir, adds)
+        from pyspark.sql import functions as _F
+
+        cond = None
+        for c, o, v in predicates:
+            piece = {
+                "=": _F.col(c) == v, "<": _F.col(c) < v,
+                "<=": _F.col(c) <= v, ">": _F.col(c) > v,
+                ">=": _F.col(c) >= v,
+            }[o]
+            cond = piece if cond is None else cond & piece
+        return df.filter(cond)
+    return _scan(spark, table_dir, adds)
+
+
+def _scan(spark: SparkSession, table_dir: str, adds: list[dict]) -> DataFrame:
     paths = [
         a["path"] if os.path.isabs(a["path"])
         else os.path.join(table_dir, a["path"])
@@ -264,13 +330,29 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
                     "configuration": {},
                     "createdTime": ts,
                 }})
+            stats = {"numRecords": len(df)}
+            if len(df):
+                mins, maxs = {}, {}
+                for c in df.columns:
+                    s = df[c]
+                    if s.dtype.kind in "iuf":
+                        mins[c] = s.min().item()
+                        maxs[c] = s.max().item()
+                    elif s.dtype == object and all(
+                        isinstance(x, str) for x in s
+                    ):
+                        mins[c] = min(s)
+                        maxs[c] = max(s)
+                if mins:
+                    stats["minValues"] = mins
+                    stats["maxValues"] = maxs
             add = {
                 "path": rel,
                 "partitionValues": {},
                 "size": os.path.getsize(fpath),
                 "modificationTime": ts,
                 "dataChange": True,
-                "stats": json.dumps({"numRecords": len(df)}),
+                "stats": json.dumps(stats),
             }
             actions.append({"add": add})
             live[rel] = add

@@ -133,6 +133,47 @@ def test_delta_checkpoint_replay(spark, tmp_path):
     assert info["paths"][0][0] not in {a["path"] for a in adds}
 
 
+def test_delta_stats_file_skipping(spark, tmp_path):
+    """Data skipping from log stats: a selective predicate prunes files by
+    [minValues, maxValues] BEFORE the scan lists them, results identical
+    to the unpruned read + filter, empty prune keeps the schema."""
+    tdir = str(tmp_path / "delta_skip")
+    write_delta_fixture(tdir, [
+        {"add": [pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]}),
+                 pd.DataFrame({"id": [10, 11], "v": ["j", "k"]}),
+                 pd.DataFrame({"id": [20, 25], "v": ["t", "u"]})]},
+    ])
+    full = read_delta_dir(spark, tdir)
+    assert full.count() == 7
+
+    pruned = read_delta_dir(spark, tdir, predicates=[("id", ">=", 11)])
+    assert sorted(r["id"] for r in pruned.collect()) == [11, 20, 25]
+    # only 2 of 3 files are in the plan
+    assert len({f for f in pruned.inputFiles()}) == 2
+
+    eq = read_delta_dir(spark, tdir, predicates=[("id", "=", 2)])
+    assert [r["v"] for r in eq.collect()] == ["b"]
+    assert len(eq.inputFiles()) == 1
+
+    # string stats prune too
+    sp = read_delta_dir(spark, tdir, predicates=[("v", ">", "s")])
+    assert sorted(r["v"] for r in sp.collect()) == ["t", "u"]
+    assert len(sp.inputFiles()) == 1
+
+    # nothing can match: empty result, schema preserved
+    none = read_delta_dir(spark, tdir, predicates=[("id", ">", 999)])
+    assert none.count() == 0
+    assert none.columns == ["id", "v"]
+
+    # predicates are EXACT (re-applied as filters), not just pruning:
+    # id >= 2 keeps file 1 (min 1, max 3) but must drop the id=1 row
+    ge2 = read_delta_dir(spark, tdir, predicates=[("id", ">=", 2)])
+    assert sorted(r["id"] for r in ge2.collect()) == [2, 3, 10, 11, 20, 25]
+
+    with pytest.raises(ValueError, match="skip predicate"):
+        read_delta_dir(spark, tdir, predicates=[("id", "!=", 1)])
+
+
 def test_delta_refusals(spark, tmp_path):
     tdir, _ = _fixture(tmp_path)
     # unsupported reader protocol (deletion vectors era)
