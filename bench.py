@@ -418,6 +418,11 @@ BENCH_QUERIES = [
     "stratified_sample",
     "html_extract_text",
     "pii_redaction",
+    # round 6: top-n-gram concentration (distributed explode/agg) and the
+    # URL canonicalizer — suite totals are comparable to r5 only over the
+    # original 23 queries (BASELINE.md notes the split)
+    "top_ngram_stats",
+    "url_canonical_dedup",
 ]
 
 

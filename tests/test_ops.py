@@ -123,6 +123,38 @@ def test_url_canonicalize_pinned(spark):
         assert got[i]["host"] == want_host, (i, got[i]["host"])
 
 
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) over ~600 generated messy URLs — a
+    rule-chain whose output re-triggers an earlier rule would diverge on
+    the second pass (e.g. a port strip exposing a www., a param removal
+    creating a new trailing separator)."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "https://", "HTTP://", "ftp://"]
+    hosts = ["www.Example.COM", "a.b.ORG", "x.io", "WWW.W.www", "h-1.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/q", "/a//b", "/%7Euser"]
+    queries = ["", "?a=1", "?utm_x=1", "?utm_a=1&b=2&utm_c=3&gclid=9",
+               "?gclid=", "?&", "?a=utm_b=nested"]
+    frags = ["", "#f", "#a#b", "#utm_source=x"]
+    urls = []
+    for _ in range(600):
+        urls.append(rng.choice(schemes) + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + rng.choice(queries) + rng.choice(frags))
+    urls += ["", "no scheme", "http://", "http://:80/", "?utm_a=1"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["id", "url"])
+    once = text.url_canonicalize_col(F.col("url"))
+    out = df.select(
+        "id", "url", once.alias("c1"),
+    ).select("id", "url", "c1", text.url_canonicalize_col(F.col("c1")).alias("c2"))
+    bad = [(r["url"], r["c1"], r["c2"]) for r in out.collect()
+           if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
+
+
 def test_fingerprint_identical_for_identical_text(spark):
     df = spark.createDataFrame(
         [(1, "same  text"), (2, "same text"), (3, "other")], ["id", "text"]
