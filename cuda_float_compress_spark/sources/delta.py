@@ -19,10 +19,16 @@ pure-Python log replay:
 
 Scope: parquet data files, reader protocol version 1 (no deletion
 vectors / column mapping — those raise NotImplementedError with the
-protocol field named), unpartitioned tables (partition values live in
-the log, not the files; refused loudly rather than silently dropping
-the column). ``write_delta_fixture`` is the test/oracle twin, mirroring
-``write_iceberg_fixture``.
+protocol field named). Partitioned tables are reconstructed from the
+log's ``partitionValues`` (the files do NOT contain those columns):
+when every live file sits under the standard hive layout
+(``col=value/``) the read is ONE parquet scan with Spark partition
+discovery — the 100 TB path, a single scan node regardless of
+partition count, and Catalyst partition pruning applies to any filter;
+otherwise files are grouped by partition tuple and unioned with
+literal columns (correct for arbitrary layouts, plan size O(distinct
+partitions)). ``write_delta_fixture`` is the test/oracle twin,
+mirroring ``write_iceberg_fixture``.
 """
 
 from __future__ import annotations
@@ -167,21 +173,63 @@ def _replay(table_dir: str, version: int | None = None,
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise NotImplementedError(f"Delta data format '{fmt}' != parquet")
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "partitioned Delta tables not supported: partition values live "
-            f"in the log, not the files ({meta['partitionColumns']}); "
-            "reading would silently drop those columns"
-        )
     return meta, sorted(live.values(), key=lambda a: a["path"])
+
+
+# Delta logical type -> Spark SQL cast target (partition columns only;
+# data columns keep their parquet physical types untouched)
+_SPARK_CAST = {
+    "long": "bigint", "integer": "int", "short": "smallint",
+    "byte": "tinyint", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _partition_schema(meta: dict) -> dict[str, str]:
+    """{partition column -> Delta logical type} in partitionColumns order."""
+    pcols = meta.get("partitionColumns") or []
+    if not pcols:
+        return {}
+    fields = json.loads(meta["schemaString"])["fields"]
+    types = {f["name"]: f["type"] for f in fields
+             if isinstance(f["type"], str)}
+    return {c: types.get(c, "string") for c in pcols}
+
+
+def _typed_part_value(raw: str | None, dtype: str):
+    """Partition value string from the log -> comparable Python value
+    (Delta partition-value serialization: PROTOCOL.md 'Partition Value
+    Serialization'). None (null partition) stays None."""
+    if raw is None:
+        return None
+    if dtype in ("long", "integer", "short", "byte"):
+        return int(raw)
+    if dtype in ("double", "float"):
+        return float(raw)
+    if dtype == "boolean":
+        return raw == "true"
+    # string / date(yyyy-MM-dd) / timestamp: ISO text ordering is the
+    # value ordering, compare as strings
+    return raw
 
 
 _SKIP_OPS = {"=", "<", "<=", ">", ">="}
 
 
-def _file_may_match(add: dict, col: str, op: str, val) -> bool:
+def _file_may_match(add: dict, col: str, op: str, val,
+                    pschema: dict[str, str] | None = None) -> bool:
     """Data skipping: can a file's [minValues, maxValues] stats interval
-    contain a row satisfying (col op val)? Missing stats => must read."""
+    contain a row satisfying (col op val)? Missing stats => must read.
+    Partition columns compare against the file's single log value —
+    exact pruning, not an interval."""
+    if pschema and col in pschema:
+        pv = _typed_part_value(
+            (add.get("partitionValues") or {}).get(col), pschema[col])
+        if pv is None:
+            return False  # null never satisfies a comparison
+        return {"=": pv == val, "<": pv < val, "<=": pv <= val,
+                ">": pv > val, ">=": pv >= val}[op]
     stats = add.get("stats")
     if not stats:
         return True
@@ -220,9 +268,10 @@ def read_delta_dir(
     query from opening a million files). The predicate is re-applied
     exactly as a Spark filter, so pruning is a pure I/O optimization."""
     table_dir = _strip_scheme(table_dir)
-    _, adds = _replay(table_dir, version, as_of_ms)
+    meta, adds = _replay(table_dir, version, as_of_ms)
     if not adds:
         raise ValueError("Delta snapshot has no live data files")
+    pschema = _partition_schema(meta)
     if predicates:
         for col, op, val in predicates:
             if op not in _SKIP_OPS:
@@ -232,14 +281,15 @@ def read_delta_dir(
                 )
         adds = [
             a for a in adds
-            if all(_file_may_match(a, c, o, v) for c, o, v in predicates)
+            if all(_file_may_match(a, c, o, v, pschema)
+                   for c, o, v in predicates)
         ]
         if not adds:
             # preserve schema: empty frame over the full file set's schema
             all_adds = _replay(table_dir, version, as_of_ms)[1]
-            df = _scan(spark, table_dir, all_adds).limit(0)
+            df = _scan(spark, table_dir, all_adds, pschema).limit(0)
         else:
-            df = _scan(spark, table_dir, adds)
+            df = _scan(spark, table_dir, adds, pschema)
         from pyspark.sql import functions as _F
 
         cond = None
@@ -251,16 +301,74 @@ def read_delta_dir(
             }[o]
             cond = piece if cond is None else cond & piece
         return df.filter(cond)
-    return _scan(spark, table_dir, adds)
+    return _scan(spark, table_dir, adds, pschema)
 
 
-def _scan(spark: SparkSession, table_dir: str, adds: list[dict]) -> DataFrame:
+_HIVE_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+)
+
+
+def _hive_prefix(add: dict, pschema: dict[str, str]) -> str | None:
+    """'p=3/q=x/' if the add's partition values are hive-encodable with
+    no escaping (conservative: plain [A-Za-z0-9._-] values only), else
+    None (caller falls back to the union plan)."""
+    parts = []
+    pv = add.get("partitionValues") or {}
+    for c in pschema:
+        v = pv.get(c)
+        if v is None or v == "" or not set(v) <= _HIVE_SAFE:
+            return None
+        parts.append(f"{c}={v}")
+    return "/".join(parts) + "/"
+
+
+def _scan(spark: SparkSession, table_dir: str, adds: list[dict],
+          pschema: dict[str, str] | None = None) -> DataFrame:
     paths = [
         a["path"] if os.path.isabs(a["path"])
         else os.path.join(table_dir, a["path"])
         for a in adds
     ]
-    return spark.read.parquet(*paths)
+    if not pschema:
+        return spark.read.parquet(*paths)
+
+    from pyspark.sql import functions as F
+
+    # Fast path: every live file under hive layout consistent with its
+    # log partitionValues -> ONE scan with Spark partition discovery.
+    # The log stays authoritative (we verify path==values agreement);
+    # partition columns are cast to the schemaString types because
+    # discovery infers its own (e.g. int where the schema says long).
+    if all(
+        (pre := _hive_prefix(a, pschema)) is not None
+        and a["path"].startswith(pre)
+        for a in adds
+    ):
+        df = spark.read.option("basePath", table_dir).parquet(*paths)
+        for c, t in pschema.items():
+            df = df.withColumn(c, F.col(c).cast(_SPARK_CAST.get(t, "string")))
+        return df
+
+    # General path: group files by partition tuple, attach literal
+    # columns, union. Plan size = distinct partition combinations.
+    groups: dict[tuple, list[int]] = {}
+    for i, a in enumerate(adds):
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pschema)
+        groups.setdefault(key, []).append(i)
+    out = None
+    for key, idxs in groups.items():
+        part = spark.read.parquet(*[paths[i] for i in idxs])
+        for c, raw in zip(pschema, key):
+            cast_t = _SPARK_CAST.get(pschema[c], "string")
+            part = part.withColumn(
+                c,
+                F.lit(None).cast(cast_t) if raw is None
+                else F.lit(raw).cast(cast_t),
+            )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def delta_snapshot_info(table_dir: str) -> list[dict]:
@@ -281,20 +389,37 @@ def delta_snapshot_info(table_dir: str) -> list[dict]:
     return out
 
 
+def _part_value_str(x) -> str | None:
+    """Python value -> Delta partition-value string (PROTOCOL.md)."""
+    if x is None or x != x:  # None / NaN
+        return None
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    return str(x)
+
+
 def write_delta_fixture(table_dir: str, commits: list[dict],
-                        checkpoint_at: int | None = None) -> dict:
+                        checkpoint_at: int | None = None,
+                        partition_by: list[str] | None = None,
+                        hive_layout: bool = True) -> dict:
     """Write a real (minimal, protocol-v1) Delta table for tests/oracles —
     the fixture twin of the reader, mirroring write_iceberg_fixture.
 
     ``commits``: list of {'add': [DataFrame, ...], 'remove': [path, ...]}.
-    Each add DataFrame becomes one parquet file. ``checkpoint_at``: also
-    write a checkpoint parquet + _last_checkpoint at that version.
+    Each add DataFrame becomes one parquet file per distinct partition
+    tuple (one file when unpartitioned). ``partition_by``: those columns
+    are dropped from the data files and recorded only in the adds'
+    ``partitionValues`` (and in the path when ``hive_layout``, the
+    layout real writers produce; ``hive_layout=False`` exercises the
+    reader's union fallback for log-only layouts). ``checkpoint_at``:
+    also write a checkpoint parquet + _last_checkpoint at that version.
     Returns {'versions': [...], 'timestamps_ms': [...], 'paths': [[...]]}.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ddir = table_dir
+    pby = partition_by or []
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     base_ts = 1_700_000_000_000
@@ -308,55 +433,78 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
             actions.append({"protocol": {
                 "minReaderVersion": 1, "minWriterVersion": 2}})
         paths = []
-        for i, df in enumerate(commit.get("add", [])):
-            rel = f"part-{v:05d}-{i:05d}.parquet"
-            fpath = os.path.join(ddir, rel)
-            tbl = pa.Table.from_pandas(df, preserve_index=False)
-            pq.write_table(tbl, fpath)
+        file_no = 0
+        for df in commit.get("add", []):
             if schema_string is None:
+                full = pa.Table.from_pandas(df, preserve_index=False)
                 schema_string = json.dumps({
                     "type": "struct",
                     "fields": [
-                        {"name": n, "type": _delta_type(tbl.schema.field(n)),
+                        {"name": n, "type": _delta_type(full.schema.field(n)),
                          "nullable": True, "metadata": {}}
-                        for n in tbl.schema.names
+                        for n in full.schema.names
                     ],
                 })
                 actions.append({"metaData": {
                     "id": "fixture-table",
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
-                    "partitionColumns": [],
+                    "partitionColumns": list(pby),
                     "configuration": {},
                     "createdTime": ts,
                 }})
-            stats = {"numRecords": len(df)}
-            if len(df):
-                mins, maxs = {}, {}
-                for c in df.columns:
-                    s = df[c]
-                    if s.dtype.kind in "iuf":
-                        mins[c] = s.min().item()
-                        maxs[c] = s.max().item()
-                    elif s.dtype == object and all(
-                        isinstance(x, str) for x in s
-                    ):
-                        mins[c] = min(s)
-                        maxs[c] = max(s)
-                if mins:
-                    stats["minValues"] = mins
-                    stats["maxValues"] = maxs
-            add = {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(fpath),
-                "modificationTime": ts,
-                "dataChange": True,
-                "stats": json.dumps(stats),
-            }
-            actions.append({"add": add})
-            live[rel] = add
-            paths.append(rel)
+            if pby:
+                pieces = [
+                    (dict(zip(pby, key if isinstance(key, tuple) else (key,))),
+                     grp.drop(columns=pby))
+                    for key, grp in df.groupby(pby, dropna=False, sort=True)
+                ]
+            else:
+                pieces = [({}, df)]
+            for pvals, data in pieces:
+                pstr = {c: _part_value_str(x) for c, x in pvals.items()}
+                base = f"part-{v:05d}-{file_no:05d}.parquet"
+                file_no += 1
+                if pby and hive_layout:
+                    segs = "/".join(
+                        f"{c}={pstr[c]}" if pstr[c] is not None
+                        else f"{c}=__HIVE_DEFAULT_PARTITION__"
+                        for c in pby
+                    )
+                    rel = f"{segs}/{base}"
+                    os.makedirs(os.path.join(ddir, segs), exist_ok=True)
+                else:
+                    rel = base
+                fpath = os.path.join(ddir, rel)
+                tbl = pa.Table.from_pandas(data, preserve_index=False)
+                pq.write_table(tbl, fpath)
+                stats = {"numRecords": len(data)}
+                if len(data):
+                    mins, maxs = {}, {}
+                    for c in data.columns:
+                        s = data[c]
+                        if s.dtype.kind in "iuf":
+                            mins[c] = s.min().item()
+                            maxs[c] = s.max().item()
+                        elif s.dtype == object and all(
+                            isinstance(x, str) for x in s
+                        ):
+                            mins[c] = min(s)
+                            maxs[c] = max(s)
+                    if mins:
+                        stats["minValues"] = mins
+                        stats["maxValues"] = maxs
+                add = {
+                    "path": rel,
+                    "partitionValues": pstr,
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": ts,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+                actions.append({"add": add})
+                live[rel] = add
+                paths.append(rel)
         for rel in commit.get("remove", []):
             actions.append({"remove": {
                 "path": rel, "deletionTimestamp": ts, "dataChange": True}})

@@ -193,16 +193,49 @@ def test_delta_refusals(spark, tmp_path):
         read_delta_dir(spark, str(tmp_path / "nope"))
 
 
-def test_delta_partitioned_refused(spark, tmp_path):
-    tdir, _ = _fixture(tmp_path)
-    # rewrite version 0's metaData to declare a partition column
-    log = os.path.join(tdir, "_delta_log", f"{0:020d}.json")
-    lines = [json.loads(x) for x in open(log)]
-    for act in lines:
-        if "metaData" in act:
-            act["metaData"]["partitionColumns"] = ["v"]
-    with open(log, "w") as f:
-        for act in lines:
-            f.write(json.dumps(act) + "\n")
-    with pytest.raises(NotImplementedError, match="partition"):
-        read_delta_dir(spark, tdir)
+def test_delta_partitioned_hive(spark, tmp_path):
+    """Partition columns live in the log/path, NOT the data files; the
+    hive-layout fast path reconstructs them in ONE scan with the
+    schemaString types, and a partition predicate prunes files exactly."""
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "delta_part")
+    df0 = pd.DataFrame({"p": [1, 1, 2, 2, 3], "id": [1, 2, 3, 4, 5],
+                        "v": list("abcde")})
+    write_delta_fixture(tdir, [{"add": [df0]}], partition_by=["p"])
+    cur = read_delta_dir(spark, tdir)
+    assert {(r["p"], r["id"], r["v"]) for r in cur.collect()} == {
+        (1, 1, "a"), (1, 2, "b"), (2, 3, "c"), (2, 4, "d"), (3, 5, "e")
+    }
+    # type comes from schemaString (pandas int64 -> long), not discovery
+    assert dict(cur.dtypes)["p"] == "bigint"
+    # the data files genuinely do not contain the partition column
+    f = cur.inputFiles()[0].removeprefix("file:")
+    assert "p" not in pq.read_schema(f).names
+    # exact partition pruning: only matching files reach the plan
+    pr = read_delta_dir(spark, tdir, predicates=[("p", "=", 2)])
+    assert sorted(r["id"] for r in pr.collect()) == [3, 4]
+    assert len(pr.inputFiles()) == 1
+    # mixed partition + stats predicate composes
+    pr2 = read_delta_dir(spark, tdir,
+                         predicates=[("p", ">=", 2), ("id", "<", 5)])
+    assert sorted(r["id"] for r in pr2.collect()) == [3, 4]
+
+
+def test_delta_partitioned_union_fallback(spark, tmp_path):
+    """hive_layout=False: partition values exist ONLY in the log (no
+    col=value path segments) — the reader's group-union path must
+    reattach them, including a null partition."""
+    tdir = str(tmp_path / "delta_part_flat")
+    df0 = pd.DataFrame({"p": ["x", "x", "y", None], "id": [1, 2, 3, 4]})
+    write_delta_fixture(tdir, [{"add": [df0]}],
+                        partition_by=["p"], hive_layout=False)
+    # no hive segments on disk
+    assert not any("p=" in n for n in os.listdir(tdir))
+    cur = read_delta_dir(spark, tdir)
+    assert {(r["p"], r["id"]) for r in cur.collect()} == {
+        ("x", 1), ("x", 2), ("y", 3), (None, 4)
+    }
+    pr = read_delta_dir(spark, tdir, predicates=[("p", "=", "y")])
+    assert [r["id"] for r in pr.collect()] == [3]
+    assert len(pr.inputFiles()) == 1
