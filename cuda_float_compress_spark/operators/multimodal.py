@@ -469,6 +469,48 @@ def image_thumbnails(
     return df.select(url_col, bin_col).mapInPandas(work, schema=IMAGE_THUMB_SCHEMA)
 
 
+VP8_QUALITY_SCHEMA = (
+    "url string, width int, height int, y_ac_qi int, filter_level int, "
+    "sharpness int, n_token_partitions int, segmentation boolean"
+)
+
+
+def vp8_quality_table(
+    df: DataFrame, url_col: str = "url", bin_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas over lossy-WebP payloads: parse the VP8 keyframe header
+    (operators/webp.py parse_vp8_frame_header, RFC 6386 9.2-9.7) into a
+    quality/decode-cost table — quantizer index is the compression-quality
+    proxy a crawl pipeline filters on (high qi = heavily compressed, low
+    visual quality), token-partition count bounds decode parallelism.
+    Non-WebP / lossless / interframe / malformed rows are skipped."""
+
+    def work(batches):
+        from cuda_float_compress_spark.operators.webp import vp8_header_info
+
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf[url_col], pdf[bin_col]):
+                b = bytes(b) if b is not None else b""
+                if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+                    continue
+                try:
+                    h = vp8_header_info(b)
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                rows.append((u, h["width"], h["height"], h["y_ac_qi"],
+                             h["filter_level"], h["sharpness_level"],
+                             h["n_token_partitions"],
+                             bool(h["segmentation_enabled"])))
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "y_ac_qi",
+                               "filter_level", "sharpness",
+                               "n_token_partitions", "segmentation"],
+            )
+
+    return df.select(url_col, bin_col).mapInPandas(work, schema=VP8_QUALITY_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "url string, sample_rate int, n_samples int, channels int, "
     "duration_sec double, rms double, peak double"

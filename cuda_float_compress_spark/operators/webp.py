@@ -3,10 +3,13 @@
 Closes the web image format triangle the same way PNG and baseline +
 progressive JPEG were closed (see operators/jpeg.py): from the public
 spec, stdlib + numpy only. WebP lossless is the format Common-Crawl-style
-pipelines meet for screenshots/diagrams/UI assets; lossy WebP (VP8) would
-need the full VP8 video intra decoder (boolean coder + DCT + loop filter)
-and remains an honest NotImplementedError, as do animation and the
-separate ALPH chunk.
+pipelines meet for screenshots/diagrams/UI assets. For lossy VP8 the
+boolean coder (RFC 6386 §7) and the complete prob-128 keyframe frame
+header (§9.2–9.7: segmentation, loop filter, partitions, quantizers) are
+implemented — ``parse_vp8_frame_header`` / ``vp8_header_info`` — which is
+the exact boundary the spec defines without its large constant tables;
+pixel decode past that point stays a typed NotImplementedError, as do
+animation and the separate ALPH chunk.
 
 Implemented (VP8L bitstream spec, developers.google.com/speed/webp/docs/
 webp_lossless_bitstream_specification — public):
@@ -528,6 +531,299 @@ def vp8_keyframe_dims(body: bytes) -> tuple[int, int]:
     wv = body[6] | (body[7] << 8)
     hv = body[8] | (body[9] << 8)
     return wv & 0x3FFF, hv & 0x3FFF
+
+
+class _BoolDecoder:
+    """RFC 6386 §7.3 boolean (binary arithmetic) decoder — the entropy
+    layer of every VP8 partition. State: an 8-bit ``range`` in [128, 255]
+    and a 16-bit big-endian ``value`` window onto the stream; a split
+    point ``1 + (((range-1)*prob) >> 8)`` partitions the interval and the
+    chosen half is renormalized by doubling until range >= 128, pulling
+    one stream byte per 8 doublings. This is the spec's own pseudo-code;
+    nothing here depends on the large constant tables that keep full
+    pixel decode out of scope."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 2
+        self.value = ((data[0] if len(data) > 0 else 0) << 8) | (
+            data[1] if len(data) > 1 else 0
+        )
+        self.range = 255
+        self._bits = 0
+
+    def read_bool(self, prob: int = 128) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self._bits += 1
+            if self._bits == 8:
+                self._bits = 0
+                if self._pos < len(self._d):
+                    self.value |= self._d[self._pos]
+                    self._pos += 1
+        return ret
+
+    def read_literal(self, n: int) -> int:
+        """L(n): n prob-128 bools, MSB first (RFC 6386 §7.3)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bool(128)
+        return v
+
+    def read_signed(self, n: int) -> int:
+        """Magnitude L(n) then a sign bool (1 = negative)."""
+        v = self.read_literal(n)
+        return -v if self.read_bool(128) else v
+
+
+class _BoolEncoder:
+    """Fixture-twin encoder for :class:`_BoolDecoder`, carry-free by
+    construction: ``low`` is an arbitrary-precision integer that doubles
+    on every renormalization, so the output is simply the final ``low``
+    left-padded to the emitted bit count — no windowed carry propagation
+    to get wrong. Matching the decoder is provable rather than remembered:
+    both sides use the identical split arithmetic, a 1-bit picks
+    low += split (so the final stream value is >= the scaled split) and a
+    0-bit sets range = split (so it stays strictly below), which is
+    exactly the decoder's branch condition. Property-tested against the
+    decoder on random (bit, prob) sequences."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.nbits = 0
+
+    def write_bool(self, bit: int, prob: int = 128) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.low <<= 1
+            self.range <<= 1
+            self.nbits += 1
+
+    def write_literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write_bool((v >> i) & 1, 128)
+
+    def write_signed(self, v: int, n: int) -> None:
+        self.write_literal(abs(v), n)
+        self.write_bool(1 if v < 0 else 0, 128)
+
+    def finish(self) -> bytes:
+        # decoder relation: stream as a (16 + nbits)-bit integer equals
+        # low*2^8 + final_value, with 0 <= final_value < range*2^8 (the
+        # 16-bit value window carries 8 more bits of resolution than the
+        # 8-bit range; low itself can carry up to nbits+8 bits since
+        # low + range <= 255*2^nbits). Choose final_value = 0 and pad
+        # with zero bytes for the decoder's lazy byte pulls.
+        total_bits = self.nbits + 16
+        nbytes = (total_bits + 7) // 8
+        out = (self.low << 8) << (nbytes * 8 - total_bits)
+        return out.to_bytes(nbytes, "big") + b"\x00" * 4
+
+
+def parse_vp8_frame_header(body: bytes) -> dict:
+    """Parse a lossy-VP8 keyframe's full first-partition header (RFC 6386
+    §9.2–9.7): everything boolean-coded at prob 128, which is the exact
+    boundary of what the spec defines without its large constant tables —
+    segmentation, loop-filter configuration, DCT partition count, all six
+    quantizer fields, refresh_entropy_probs. Stops before the coefficient
+    probability updates (those need the [4][8][3][11] default/update
+    tables; see ``vp8_keyframe_dims`` for why they stay out of scope).
+
+    Real metadata this yields for web WebP/VP8 payloads: the quantizer
+    index (quality proxy), loop-filter strength, segmentation use, and
+    token-partition count (decode parallelism)."""
+    if len(body) < 10:
+        raise ValueError("truncated VP8 chunk")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise NotImplementedError(
+            "VP8 interframe — only keyframe headers are parsed"
+        )
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    first_part_size = tag >> 5
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    wv = body[6] | (body[7] << 8)
+    hv = body[8] | (body[9] << 8)
+    part = body[10:10 + first_part_size]
+    if len(part) < first_part_size:
+        raise ValueError("truncated VP8 first partition")
+    bd = _BoolDecoder(part)
+    hdr: dict = {
+        "width": wv & 0x3FFF, "height": hv & 0x3FFF,
+        "hscale": wv >> 14, "vscale": hv >> 14,
+        "version": version, "show_frame": show_frame,
+        "first_part_size": first_part_size,
+        "color_space": bd.read_literal(1),
+        "clamping_type": bd.read_literal(1),
+    }
+    hdr["segmentation_enabled"] = bd.read_literal(1)
+    hdr["segment_quant_deltas"] = None
+    hdr["segment_lf_deltas"] = None
+    hdr["segment_abs_values"] = None
+    if hdr["segmentation_enabled"]:
+        update_map = bd.read_literal(1)
+        update_data = bd.read_literal(1)
+        if update_data:
+            hdr["segment_abs_values"] = bd.read_literal(1)
+            hdr["segment_quant_deltas"] = [
+                bd.read_signed(7) if bd.read_literal(1) else 0
+                for _ in range(4)
+            ]
+            hdr["segment_lf_deltas"] = [
+                bd.read_signed(6) if bd.read_literal(1) else 0
+                for _ in range(4)
+            ]
+        if update_map:
+            # tree probs for the per-MB segment map; values only matter
+            # for MB data, but they must be CONSUMED to stay in sync
+            hdr["segment_tree_probs"] = [
+                bd.read_literal(8) if bd.read_literal(1) else 255
+                for _ in range(3)
+            ]
+    hdr["filter_type"] = bd.read_literal(1)
+    hdr["filter_level"] = bd.read_literal(6)
+    hdr["sharpness_level"] = bd.read_literal(3)
+    hdr["lf_delta_enabled"] = bd.read_literal(1)
+    hdr["ref_lf_deltas"] = None
+    hdr["mode_lf_deltas"] = None
+    if hdr["lf_delta_enabled"]:
+        if bd.read_literal(1):  # mode_ref_lf_delta_update
+            hdr["ref_lf_deltas"] = [
+                bd.read_signed(6) if bd.read_literal(1) else 0
+                for _ in range(4)
+            ]
+            hdr["mode_lf_deltas"] = [
+                bd.read_signed(6) if bd.read_literal(1) else 0
+                for _ in range(4)
+            ]
+    hdr["n_token_partitions"] = 1 << bd.read_literal(2)
+    hdr["y_ac_qi"] = bd.read_literal(7)
+    for name in ("y_dc_delta", "y2_dc_delta", "y2_ac_delta",
+                 "uv_dc_delta", "uv_ac_delta"):
+        hdr[name] = bd.read_signed(4) if bd.read_literal(1) else 0
+    hdr["refresh_entropy_probs"] = bd.read_literal(1)
+    return hdr
+
+
+def build_vp8_keyframe(width: int, height: int, *, color_space: int = 0,
+                       clamping_type: int = 0,
+                       segment_quant_deltas: list[int] | None = None,
+                       segment_lf_deltas: list[int] | None = None,
+                       segment_abs_values: int = 0,
+                       segment_tree_probs: list[int] | None = None,
+                       filter_type: int = 0, filter_level: int = 0,
+                       sharpness_level: int = 0,
+                       ref_lf_deltas: list[int] | None = None,
+                       mode_lf_deltas: list[int] | None = None,
+                       n_token_partitions: int = 1,
+                       y_ac_qi: int = 0, y_dc_delta: int = 0,
+                       y2_dc_delta: int = 0, y2_ac_delta: int = 0,
+                       uv_dc_delta: int = 0, uv_ac_delta: int = 0,
+                       refresh_entropy_probs: int = 1,
+                       version: int = 0) -> bytes:
+    """Fixture twin of :func:`parse_vp8_frame_header`: a syntactically
+    valid VP8 keyframe chunk body whose first partition carries exactly
+    the header fields (coefficient data is absent — the parser never
+    reads past refresh_entropy_probs). For wrapping into a full WebP
+    payload prepend the RIFF/WEBP container with a ``VP8 `` chunk."""
+    be = _BoolEncoder()
+    be.write_literal(color_space, 1)
+    be.write_literal(clamping_type, 1)
+    seg_on = (segment_quant_deltas is not None
+              or segment_lf_deltas is not None
+              or segment_tree_probs is not None)
+    be.write_literal(1 if seg_on else 0, 1)
+    if seg_on:
+        be.write_literal(1 if segment_tree_probs is not None else 0, 1)
+        update_data = (segment_quant_deltas is not None
+                       or segment_lf_deltas is not None)
+        be.write_literal(1 if update_data else 0, 1)
+        if update_data:
+            be.write_literal(segment_abs_values, 1)
+            for d in (segment_quant_deltas or [0] * 4):
+                be.write_literal(1 if d else 0, 1)
+                if d:
+                    be.write_signed(d, 7)
+            for d in (segment_lf_deltas or [0] * 4):
+                be.write_literal(1 if d else 0, 1)
+                if d:
+                    be.write_signed(d, 6)
+        if segment_tree_probs is not None:
+            for p in segment_tree_probs:
+                be.write_literal(0 if p == 255 else 1, 1)
+                if p != 255:
+                    be.write_literal(p, 8)
+    be.write_literal(filter_type, 1)
+    be.write_literal(filter_level, 6)
+    be.write_literal(sharpness_level, 3)
+    lf_adj = ref_lf_deltas is not None or mode_lf_deltas is not None
+    be.write_literal(1 if lf_adj else 0, 1)
+    if lf_adj:
+        be.write_literal(1, 1)  # mode_ref_lf_delta_update
+        for d in (ref_lf_deltas or [0] * 4):
+            be.write_literal(1 if d else 0, 1)
+            if d:
+                be.write_signed(d, 6)
+        for d in (mode_lf_deltas or [0] * 4):
+            be.write_literal(1 if d else 0, 1)
+            if d:
+                be.write_signed(d, 6)
+    log2p = {1: 0, 2: 1, 4: 2, 8: 3}[n_token_partitions]
+    be.write_literal(log2p, 2)
+    be.write_literal(y_ac_qi, 7)
+    for d in (y_dc_delta, y2_dc_delta, y2_ac_delta, uv_dc_delta,
+              uv_ac_delta):
+        be.write_literal(1 if d else 0, 1)
+        if d:
+            be.write_signed(d, 4)
+    be.write_literal(refresh_entropy_probs, 1)
+    part = be.finish()
+    tag = (0) | (version << 1) | (1 << 4) | (len(part) << 5)
+    return (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        + part
+    )
+
+
+def vp8_header_info(payload: bytes) -> dict:
+    """Lossy-WebP metadata: walk the RIFF container to the ``VP8 `` chunk
+    and parse its keyframe header (:func:`parse_vp8_frame_header`)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8 ":
+            return parse_vp8_frame_header(body)
+        if tag == b"VP8L":
+            raise ValueError("lossless WebP has no VP8 frame header")
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8 chunk in WebP payload")
 
 
 def webp_dims(payload: bytes) -> tuple[int, int]:

@@ -894,6 +894,142 @@ def test_vp8_lossy_keyframe_dims_probe():
     assert multimodal.sniff_media_type(vp8_file(320, 200)) == "image/webp"
 
 
+def test_vp8_bool_coder_roundtrip():
+    """The RFC 6386 boolean coder pair: random (bit, prob) sequences
+    encode -> decode bit-exact. The decoder is the spec's pseudo-code;
+    the encoder is carry-free big-int, so this round trip IS its
+    correctness proof (see _BoolEncoder docstring)."""
+    import numpy as np
+
+    from cuda_float_compress_spark.operators.webp import (
+        _BoolDecoder,
+        _BoolEncoder,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(1, 400))
+        bits = rng.integers(0, 2, n).tolist()
+        probs = rng.integers(1, 255, n).tolist()
+        be = _BoolEncoder()
+        for b, p in zip(bits, probs):
+            be.write_bool(int(b), int(p))
+        data = be.finish()
+        bd = _BoolDecoder(data)
+        got = [bd.read_bool(int(p)) for p in probs]
+        assert got == [int(b) for b in bits], f"trial {trial}"
+    # literals and signed values too (the header's actual alphabet)
+    be = _BoolEncoder()
+    be.write_literal(0x5A, 7)
+    be.write_signed(-13, 6)
+    be.write_signed(13, 6)
+    be.write_literal(3, 2)
+    bd = _BoolDecoder(be.finish())
+    assert bd.read_literal(7) == 0x5A
+    assert bd.read_signed(6) == -13
+    assert bd.read_signed(6) == 13
+    assert bd.read_literal(2) == 3
+
+
+def test_vp8_frame_header_parse():
+    """Full keyframe header parse (RFC 6386 9.2-9.7) against the
+    build_vp8_keyframe twin: quantizers, segmentation, loop-filter
+    deltas, token partitions — every prob-128 field before the
+    coefficient-probability boundary."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from cuda_float_compress_spark.operators import webp as W
+
+    def wrap(body):
+        riff = b"WEBP" + b"VP8 " + _struct.pack("<I", len(body)) + body
+        return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+    # minimal header: defaults everywhere
+    h = W.parse_vp8_frame_header(W.build_vp8_keyframe(640, 480, y_ac_qi=44))
+    assert (h["width"], h["height"]) == (640, 480)
+    assert h["y_ac_qi"] == 44
+    assert h["segmentation_enabled"] == 0
+    assert h["n_token_partitions"] == 1
+    assert h["filter_level"] == 0
+    assert h["refresh_entropy_probs"] == 1
+
+    # everything on: segmentation quant/lf deltas, tree probs, filter
+    # config, lf adjustments, 8 token partitions, all 5 quantizer deltas
+    body = W.build_vp8_keyframe(
+        320, 200, color_space=0, clamping_type=1,
+        segment_quant_deltas=[10, -25, 0, 63],
+        segment_lf_deltas=[-5, 0, 7, 0], segment_abs_values=1,
+        segment_tree_probs=[200, 255, 17],
+        filter_type=1, filter_level=33, sharpness_level=5,
+        ref_lf_deltas=[2, -3, 0, 1], mode_lf_deltas=[0, 0, -6, 4],
+        n_token_partitions=8, y_ac_qi=91, y_dc_delta=7,
+        y2_dc_delta=-8, y2_ac_delta=3, uv_dc_delta=-1, uv_ac_delta=15,
+        refresh_entropy_probs=0, version=2,
+    )
+    h = W.vp8_header_info(wrap(body))
+    assert (h["width"], h["height"]) == (320, 200)
+    assert h["version"] == 2 and h["clamping_type"] == 1
+    assert h["segment_quant_deltas"] == [10, -25, 0, 63]
+    assert h["segment_lf_deltas"] == [-5, 0, 7, 0]
+    assert h["segment_abs_values"] == 1
+    assert h["segment_tree_probs"] == [200, 255, 17]
+    assert h["filter_type"] == 1 and h["filter_level"] == 33
+    assert h["sharpness_level"] == 5
+    assert h["ref_lf_deltas"] == [2, -3, 0, 1]
+    assert h["mode_lf_deltas"] == [0, 0, -6, 4]
+    assert h["n_token_partitions"] == 8
+    assert h["y_ac_qi"] == 91
+    assert (h["y_dc_delta"], h["y2_dc_delta"], h["y2_ac_delta"],
+            h["uv_dc_delta"], h["uv_ac_delta"]) == (7, -8, 3, -1, 15)
+    assert h["refresh_entropy_probs"] == 0
+
+    # error contract: truncated partition, lossless mismatch
+    short = W.build_vp8_keyframe(8, 8)[:12]
+    with _pytest.raises(ValueError, match="truncated"):
+        W.parse_vp8_frame_header(short)
+    import numpy as np
+    enc = W.encode_webp_lossless(
+        np.zeros((2, 2, 3), np.uint8))
+    with _pytest.raises(ValueError, match="no VP8 frame header|lossless"):
+        W.vp8_header_info(enc)
+
+
+def test_vp8_quality_table_spark(spark):
+    """Spark surface: lossy-WebP quality metadata via mapInPandas —
+    non-WebP, lossless, and malformed rows are skipped, never fatal."""
+    import struct as _struct
+
+    import numpy as np
+
+    from cuda_float_compress_spark.operators import multimodal, webp as W
+
+    def wrap(body):
+        riff = b"WEBP" + b"VP8 " + _struct.pack("<I", len(body)) + body
+        return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+    rows = [
+        ("u1", wrap(W.build_vp8_keyframe(64, 48, y_ac_qi=100,
+                                         filter_level=20,
+                                         n_token_partitions=4))),
+        ("u2", wrap(W.build_vp8_keyframe(8, 8, y_ac_qi=5))),
+        ("u3", W.encode_webp_lossless(np.zeros((2, 2, 3), np.uint8))),
+        ("u4", b"not webp at all"),
+        ("u5", wrap(b"\x00\x01")),  # truncated VP8 chunk
+        ("u6", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r["url"]: r for r in
+           multimodal.vp8_quality_table(df).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert (out["u1"]["width"], out["u1"]["height"]) == (64, 48)
+    assert out["u1"]["y_ac_qi"] == 100
+    assert out["u1"]["filter_level"] == 20
+    assert out["u1"]["n_token_partitions"] == 4
+    assert out["u2"]["y_ac_qi"] == 5 and not out["u2"]["segmentation"]
+
+
 def test_webp_color_transform_element_byte_layout():
     """Pins the SPEC layout of ColorTransformElement independent of the
     encoder twin (which once mirrored a channel swap, hiding it from the
