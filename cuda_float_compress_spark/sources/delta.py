@@ -17,9 +17,13 @@ pure-Python log replay:
 * time travel: by version (replay stops early) or by timestamp (last
   commit whose ``commitInfo.timestamp`` / file mtime is <= the bound)
 
-Scope: parquet data files, reader protocol version 1 (no deletion
-vectors / column mapping — those raise NotImplementedError with the
-protocol field named). Partitioned tables are reconstructed from the
+Scope: parquet data files, reader protocol versions 1-3 where version
+>= 2 requires only column mapping in 'name' mode (physical parquet
+column names from schemaString field metadata, normalized to logical
+names at the replay boundary — partitionValues and stats keys
+included); deletion vectors, 'id'-mode mapping, and other v3 reader
+features raise NotImplementedError naming the feature. Partitioned
+tables are reconstructed from the
 log's ``partitionValues`` (the files do NOT contain those columns):
 when every live file sits under the standard hive layout
 (``col=value/``) the read is ONE parquet scan with Spark partition
@@ -152,15 +156,23 @@ def _replay(table_dir: str, version: int | None = None,
                 act = json.loads(line)
                 if "protocol" in act:
                     p = act["protocol"]
-                    if int(p.get("minReaderVersion", 1)) > 1:
-                        feats = p.get("readerFeatures") or [
-                            f"minReaderVersion={p['minReaderVersion']}"
-                        ]
+                    rv = int(p.get("minReaderVersion", 1))
+                    if rv == 3:
+                        # table-features era: readable iff every required
+                        # reader feature is one we implement
+                        feats = set(p.get("readerFeatures") or [])
+                        unsupported = feats - {"columnMapping"}
+                        if unsupported:
+                            raise NotImplementedError(
+                                "Delta reader features not supported: "
+                                f"{sorted(unsupported)}"
+                            )
+                    elif rv > 3:
                         raise NotImplementedError(
-                            "Delta reader protocol features not supported: "
-                            f"{feats} (deletion vectors / column mapping "
-                            "need reader version > 1)"
+                            f"Delta minReaderVersion={rv} not supported"
                         )
+                    # rv == 2 gates exactly one feature: column mapping —
+                    # the metaData configuration decides the mode below
                 elif "metaData" in act:
                     meta = act["metaData"]
                 elif "add" in act:
@@ -173,7 +185,56 @@ def _replay(table_dir: str, version: int | None = None,
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise NotImplementedError(f"Delta data format '{fmt}' != parquet")
-    return meta, sorted(live.values(), key=lambda a: a["path"])
+    adds = sorted(live.values(), key=lambda a: a["path"])
+    phys2log = _column_mapping(meta)
+    if phys2log:
+        # normalize the log to LOGICAL names once, at the boundary:
+        # partitionValues and stats keys are physical in column-mapping
+        # tables; every downstream consumer (pruning, partition schema)
+        # then reasons in logical names only
+        adds = [_remap_add(a, phys2log) for a in adds]
+    return meta, adds
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """{physical name -> logical name} when the table uses column mapping
+    (PROTOCOL.md 'Column Mapping', mode 'name': parquet files store
+    columns under delta.columnMapping.physicalName), else None. Mode 'id'
+    (match by parquet field id instead of name) is refused — Spark's
+    parquet source resolves by name here."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
+        raise NotImplementedError(
+            f"Delta columnMapping mode {mode!r}: only 'name' is supported "
+            "('id' needs parquet field-id resolution)"
+        )
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if phys:
+            out[phys] = f["name"]
+    return out or None
+
+
+def _remap_add(add: dict, phys2log: dict[str, str]) -> dict:
+    a = dict(add)
+    pv = a.get("partitionValues")
+    if pv:
+        a["partitionValues"] = {
+            phys2log.get(k, k): v for k, v in pv.items()
+        }
+    st = a.get("stats")
+    if st:
+        s = json.loads(st)
+        for key in ("minValues", "maxValues", "nullCount"):
+            if isinstance(s.get(key), dict):
+                s[key] = {phys2log.get(k, k): v for k, v in s[key].items()}
+        a["stats"] = json.dumps(s)
+    return a
 
 
 # Delta logical type -> Spark SQL cast target (partition columns only;
@@ -272,6 +333,7 @@ def read_delta_dir(
     if not adds:
         raise ValueError("Delta snapshot has no live data files")
     pschema = _partition_schema(meta)
+    rename = _column_mapping(meta)
     if predicates:
         for col, op, val in predicates:
             if op not in _SKIP_OPS:
@@ -287,9 +349,10 @@ def read_delta_dir(
         if not adds:
             # preserve schema: empty frame over the full file set's schema
             all_adds = _replay(table_dir, version, as_of_ms)[1]
-            df = _scan(spark, table_dir, all_adds, pschema).limit(0)
+            df = _scan(spark, table_dir, all_adds, pschema,
+                        rename).limit(0)
         else:
-            df = _scan(spark, table_dir, adds, pschema)
+            df = _scan(spark, table_dir, adds, pschema, rename)
         from pyspark.sql import functions as _F
 
         cond = None
@@ -301,7 +364,7 @@ def read_delta_dir(
             }[o]
             cond = piece if cond is None else cond & piece
         return df.filter(cond)
-    return _scan(spark, table_dir, adds, pschema)
+    return _scan(spark, table_dir, adds, pschema, rename)
 
 
 _HIVE_SAFE = frozenset(
@@ -323,15 +386,27 @@ def _hive_prefix(add: dict, pschema: dict[str, str]) -> str | None:
     return "/".join(parts) + "/"
 
 
+def _rename_physical(df: DataFrame,
+                     rename: dict[str, str] | None) -> DataFrame:
+    """Physical parquet column names -> logical names (column mapping).
+    A pure projection — Catalyst collapses it into the scan."""
+    if rename:
+        for phys, logical in rename.items():
+            if phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+    return df
+
+
 def _scan(spark: SparkSession, table_dir: str, adds: list[dict],
-          pschema: dict[str, str] | None = None) -> DataFrame:
+          pschema: dict[str, str] | None = None,
+          rename: dict[str, str] | None = None) -> DataFrame:
     paths = [
         a["path"] if os.path.isabs(a["path"])
         else os.path.join(table_dir, a["path"])
         for a in adds
     ]
     if not pschema:
-        return spark.read.parquet(*paths)
+        return _rename_physical(spark.read.parquet(*paths), rename)
 
     from pyspark.sql import functions as F
 
@@ -345,7 +420,8 @@ def _scan(spark: SparkSession, table_dir: str, adds: list[dict],
         and a["path"].startswith(pre)
         for a in adds
     ):
-        df = spark.read.option("basePath", table_dir).parquet(*paths)
+        df = _rename_physical(
+            spark.read.option("basePath", table_dir).parquet(*paths), rename)
         for c, t in pschema.items():
             df = df.withColumn(c, F.col(c).cast(_SPARK_CAST.get(t, "string")))
         return df
@@ -359,7 +435,8 @@ def _scan(spark: SparkSession, table_dir: str, adds: list[dict],
         groups.setdefault(key, []).append(i)
     out = None
     for key, idxs in groups.items():
-        part = spark.read.parquet(*[paths[i] for i in idxs])
+        part = _rename_physical(
+            spark.read.parquet(*[paths[i] for i in idxs]), rename)
         for c, raw in zip(pschema, key):
             cast_t = _SPARK_CAST.get(pschema[c], "string")
             part = part.withColumn(
@@ -401,7 +478,8 @@ def _part_value_str(x) -> str | None:
 def write_delta_fixture(table_dir: str, commits: list[dict],
                         checkpoint_at: int | None = None,
                         partition_by: list[str] | None = None,
-                        hive_layout: bool = True) -> dict:
+                        hive_layout: bool = True,
+                        column_mapping: bool = False) -> dict:
     """Write a real (minimal, protocol-v1) Delta table for tests/oracles —
     the fixture twin of the reader, mirroring write_iceberg_fixture.
 
@@ -413,6 +491,10 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
     layout real writers produce; ``hive_layout=False`` exercises the
     reader's union fallback for log-only layouts). ``checkpoint_at``:
     also write a checkpoint parquet + _last_checkpoint at that version.
+    ``column_mapping``: name-mode column mapping (protocol reader v2) —
+    parquet files store physical ``col-N`` names, schemaString fields
+    carry the id/physicalName metadata, and partitionValues/stats are
+    keyed by physical name as real writers do (forces the flat layout).
     Returns {'versions': [...], 'timestamps_ms': [...], 'paths': [[...]]}.
     """
     import pyarrow as pa
@@ -420,6 +502,9 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
 
     ddir = table_dir
     pby = partition_by or []
+    phys: dict[str, str] = {}  # logical -> physical (column mapping)
+    if column_mapping:
+        hive_layout = False
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     base_ts = 1_700_000_000_000
@@ -431,26 +516,41 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
         actions = []
         if v == 0:
             actions.append({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 2}})
+                "minReaderVersion": 2 if column_mapping else 1,
+                "minWriterVersion": 5 if column_mapping else 2}})
         paths = []
         file_no = 0
         for df in commit.get("add", []):
             if schema_string is None:
                 full = pa.Table.from_pandas(df, preserve_index=False)
+                if column_mapping:
+                    phys.update({
+                        n: f"col-{i + 1}"
+                        for i, n in enumerate(full.schema.names)
+                    })
                 schema_string = json.dumps({
                     "type": "struct",
                     "fields": [
                         {"name": n, "type": _delta_type(full.schema.field(n)),
-                         "nullable": True, "metadata": {}}
-                        for n in full.schema.names
+                         "nullable": True,
+                         "metadata": {
+                             "delta.columnMapping.id": i + 1,
+                             "delta.columnMapping.physicalName": phys[n],
+                         } if column_mapping else {}}
+                        for i, n in enumerate(full.schema.names)
                     ],
                 })
+                conf = {}
+                if column_mapping:
+                    conf = {"delta.columnMapping.mode": "name",
+                            "delta.columnMapping.maxColumnId":
+                                str(len(full.schema.names))}
                 actions.append({"metaData": {
                     "id": "fixture-table",
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": list(pby),
-                    "configuration": {},
+                    "configuration": conf,
                     "createdTime": ts,
                 }})
             if pby:
@@ -462,7 +562,8 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
             else:
                 pieces = [({}, df)]
             for pvals, data in pieces:
-                pstr = {c: _part_value_str(x) for c, x in pvals.items()}
+                pstr = {phys.get(c, c): _part_value_str(x)
+                        for c, x in pvals.items()}
                 base = f"part-{v:05d}-{file_no:05d}.parquet"
                 file_no += 1
                 if pby and hive_layout:
@@ -476,6 +577,8 @@ def write_delta_fixture(table_dir: str, commits: list[dict],
                 else:
                     rel = base
                 fpath = os.path.join(ddir, rel)
+                if phys:
+                    data = data.rename(columns=phys)
                 tbl = pa.Table.from_pandas(data, preserve_index=False)
                 pq.write_table(tbl, fpath)
                 stats = {"numRecords": len(data)}

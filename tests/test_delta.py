@@ -222,6 +222,72 @@ def test_delta_partitioned_hive(spark, tmp_path):
     assert sorted(r["id"] for r in pr2.collect()) == [3, 4]
 
 
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Reader protocol v2 / name-mode column mapping: parquet files store
+    physical col-N names; the reader surfaces logical names, and stats
+    skipping works on logical predicates (stats keys are physical in the
+    log, normalized at the replay boundary)."""
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "delta_cm")
+    write_delta_fixture(tdir, [
+        {"add": [pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]}),
+                 pd.DataFrame({"id": [10, 11], "v": ["j", "k"]})]},
+    ], column_mapping=True)
+    cur = read_delta_dir(spark, tdir)
+    assert cur.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in cur.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"), (10, "j"), (11, "k")
+    ]
+    # the files really are physically renamed
+    f = cur.inputFiles()[0].removeprefix("file:")
+    assert set(pq.read_schema(f).names) == {"col-1", "col-2"}
+    # logical-name predicate prunes via the physical-keyed stats
+    pr = read_delta_dir(spark, tdir, predicates=[("id", ">=", 10)])
+    assert sorted(r["id"] for r in pr.collect()) == [10, 11]
+    assert len(pr.inputFiles()) == 1
+
+
+def test_delta_column_mapping_partitioned(spark, tmp_path):
+    """Column mapping + partitioning: partitionValues are keyed by
+    physical name in the log; partition pruning on the logical name."""
+    tdir = str(tmp_path / "delta_cm_part")
+    write_delta_fixture(tdir, [
+        {"add": [pd.DataFrame({"p": [1, 1, 2], "id": [1, 2, 3]})]},
+    ], partition_by=["p"], column_mapping=True)
+    # the raw log really keys partitionValues physically
+    raw = [json.loads(x) for x in
+           open(os.path.join(tdir, "_delta_log", f"{0:020d}.json"))]
+    pv_keys = {k for a in raw if "add" in a
+               for k in a["add"]["partitionValues"]}
+    assert pv_keys == {"col-1"}
+    cur = read_delta_dir(spark, tdir)
+    assert {(r["p"], r["id"]) for r in cur.collect()} == {
+        (1, 1), (1, 2), (2, 3)
+    }
+    pr = read_delta_dir(spark, tdir, predicates=[("p", "=", 2)])
+    assert [r["id"] for r in pr.collect()] == [3]
+    assert len(pr.inputFiles()) == 1
+
+
+def test_delta_column_mapping_id_mode_refused(spark, tmp_path):
+    tdir = str(tmp_path / "delta_cm_id")
+    write_delta_fixture(tdir, [
+        {"add": [pd.DataFrame({"id": [1]})]},
+    ], column_mapping=True)
+    log = os.path.join(tdir, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log)]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["configuration"][
+                "delta.columnMapping.mode"] = "id"
+    with open(log, "w") as f:
+        for act in lines:
+            f.write(json.dumps(act) + "\n")
+    with pytest.raises(NotImplementedError, match="'id'"):
+        read_delta_dir(spark, tdir)
+
+
 def test_delta_partitioned_union_fallback(spark, tmp_path):
     """hive_layout=False: partition values exist ONLY in the log (no
     col=value path segments) — the reader's group-union path must
