@@ -1086,6 +1086,16 @@ def _order_priority_histogram(spark, sf_dir):
     )
 
 
+def _dup_span_counts(spark, sf_dir):
+    """ExactSubstr-style duplicate-span signal (Lee et al. 2022): per doc,
+    distinct 32-char windows (stride 16) shared with another doc. Hash-only
+    shuffles; see operators/dedup.py dup_span_counts for the scale shape."""
+    from cuda_float_compress_spark.operators.dedup import dup_span_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_counts(docs, "doc_id", "text", gram_len=32, stride=16)
+
+
 def _jaccard_consecutive_docs(spark, sf_dir):
     """Exact 5-shingle Jaccard on consecutive doc pairs — DuckDB-verifiable
     twin of the n-gram-Jaccard dedup verifier."""
@@ -1244,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_users": _sessionize_users,
         "exact_dedup_docs": _exact_dedup_docs,
         "jaccard_consecutive_docs": _jaccard_consecutive_docs,
+        "dup_span_counts": _dup_span_counts,
         "dup_text_groups": _dup_text_groups,
         "token_counts": _token_counts,
         "bpe_token_counts": _bpe_token_counts,
@@ -1535,6 +1546,20 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_pred": f"""
             WITH {_LANG_PRED_CTE}
             SELECT doc_id, lang_pred FROM lang
+        """,
+        "dup_span_counts": """
+            WITH grams AS (
+                SELECT DISTINCT d.doc_id,
+                       ('0x' || substr(md5(substr(d.text, g.i::INT, 32)), 1, 15))::BIGINT AS h
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(1, length(d.text) - 31, 16)) AS i) g
+                WHERE length(d.text) >= 32
+            ), dup AS (
+                SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id, count(*)::BIGINT AS dup_gram_count
+            FROM grams g JOIN dup USING (h)
+            GROUP BY g.doc_id
         """,
         "jaccard_consecutive_docs": """
             WITH sh AS (

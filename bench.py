@@ -423,6 +423,7 @@ BENCH_QUERIES = [
     # original 23 queries (BASELINE.md notes the split)
     "top_ngram_stats",
     "url_canonical_dedup",
+    "dup_span_counts",
 ]
 
 

@@ -108,6 +108,71 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     return g.filter(F.col("group_size") > 1)
 
 
+# --- exact-substring duplicate spans -----------------------------------------
+
+
+def dup_span_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Exact-substring duplication signal (the ExactSubstr idea from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — arXiv:2107.06499 — re-expressed for Spark): per document,
+    how many distinct ``gram_len``-char windows (sampled every ``stride``
+    chars) also occur in at least one OTHER document. Exact duplicates
+    light up every window; partially-copied documents (boilerplate,
+    quoted passages) light up proportionally to the copied span — the
+    signal suffix-array ExactSubstr derives, without the suffix array.
+
+    Scale shape: windows are hashed JVM-side (hash60) before leaving the
+    row, so the exploded relation is (id, long) — never window text; one
+    shuffle groups by hash with partial aggregation, a second joins the
+    duplicated-hash set back (shuffle join: the dup set is data-sized,
+    not broadcastable), a third regroups by document. stride trades
+    recall floor for a stride-fold smaller explode: a shared span of
+    length >= gram_len + stride - 1 is guaranteed to cover a sampled
+    window in BOTH documents only when the copies are stride-aligned;
+    unaligned copies need length >= 2*gram_len (window-inclusion
+    argument), still far below typical boilerplate spans.
+
+    Returns (id_col, dup_gram_count) for documents with >= 1 shared
+    window. Oracle twin: same windows via generate_series + substr in
+    DuckDB with the md5-60bit portable hash."""
+    from cuda_float_compress_spark.operators.text import _chars_col
+
+    n = F.length(F.col(text_col))
+    chars = _chars_col(F.col(text_col))
+    grams = (
+        df.filter(n >= gram_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (gram_len - 1), F.lit(stride)),
+                    lambda i: hash60_col(
+                        F.array_join(F.slice(chars, i, gram_len), "")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        grams.join(dup_h, "h")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("dup_gram_count"))
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

@@ -289,6 +289,40 @@ def test_exact_dedup(spark, dup_docs):
     assert groups[0]["group_size"] == 2
 
 
+def test_dup_span_counts(spark, dup_docs):
+    """ExactSubstr-style spans: exact dups share every window; a doc with
+    a long copied prefix shares proportionally; unrelated docs are absent;
+    short-doc filter and window-count arithmetic are exact."""
+    out = {r["doc_id"]: r["dup_gram_count"] for r in
+           dedup.dup_span_counts(dup_docs, "doc_id", "text",
+                                 gram_len=32, stride=8).collect()}
+    # docs 1 and 2 are identical (63 chars): windows at 1,9,17,25 -> 4
+    assert out[1] == 4 and out[2] == 4
+    # doc 3 differs only in the last char: windows at 1,9,17 match 1/2's;
+    # window 25 covers chars 25..56 == same in doc 3 (diff is char 64)
+    assert out[3] == 4
+    assert 4 not in out and 5 not in out
+
+    # a partially-copied document lights up only the copied span
+    rows = [
+        (1, "A" * 10 + "0123456789abcdefghijklmnopqrstuvwxyzABCDEF" + "B" * 10),
+        (2, "C" * 7 + "0123456789abcdefghijklmnopqrstuvwxyzABCDEF" + "D" * 13),
+        (3, "totally unrelated text with no shared spans whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["dup_gram_count"] for r in
+           dedup.dup_span_counts(df, "doc_id", "text",
+                                 gram_len=32, stride=1).collect()}
+    # the shared 42-char run yields 11 aligned 32-windows in each doc
+    assert got[1] == 11 and got[2] == 11
+    assert 3 not in got
+    # docs shorter than gram_len are filtered, not errored
+    tiny = spark.createDataFrame([(1, "short"), (2, "short")],
+                                 ["doc_id", "text"])
+    assert dedup.dup_span_counts(tiny, "doc_id", "text",
+                                 gram_len=32, stride=1).count() == 0
+
+
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     pairs = dedup.minhash_lsh_pairs(
         dup_docs, "doc_id", n_hashes=16, bands=8, threshold=0.5
