@@ -705,6 +705,57 @@ def _pushdown_decode_agg_in(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _zorder_pushdown_agg(spark, sf_dir):
+    """Multi-dimensional pushdown through the ENCODED table: Z-ORDER
+    cluster events on (user_id, ts) — Morton-interleaved 16-bit quantized
+    key, range-partitioned then sorted within partitions — so per-chunk
+    zone maps are tight on BOTH axes, then decode with a conjunctive box
+    predicate (user_id range AND ts range) that prunes chunks on both
+    dimensions before any payload read.  The oracle recomputes the same
+    box aggregate from the raw table (correctness is plan-independent)."""
+    import datetime as _dt
+
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.zorder import (
+        ZKEY_COL,
+        cluster_by_zorder,
+    )
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "url",
+            F.concat(F.lit("evt://u/"), F.col("user_id"),
+                     F.lit("/"), F.col("event_id")),
+        )
+        clustered = cluster_by_zorder(ev, ["user_id", "ts"],
+                                      n_parts=8, bits=16)
+        encode_table(spark, clustered, out, n_parts=8, resume=False,
+                     pre_partitioned=True, sort_keys=[ZKEY_COL])
+        dec = decode_table_direct(
+            spark, out,
+            columns=["user_id", "ts", "event_type", "event_id"],
+            predicates=[
+                ("user_id", ">=", 2), ("user_id", "<=", 9),
+                ("ts", ">=", _dt.datetime(2024, 1, 8)),
+                ("ts", "<=", _dt.datetime(2024, 1, 18)),
+            ],
+        )
+        res = (
+            dec.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("sum_ids"),
+            )
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1270,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "pushdown_decode_agg": _pushdown_decode_agg,
+        "zorder_pushdown_agg": _zorder_pushdown_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2127,6 +2179,15 @@ def oracle_sql() -> dict[str, str]:
         "pushdown_decode_agg": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE n_chars >= 300 GROUP BY lang
+        """,
+        "zorder_pushdown_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(event_id)::BIGINT AS sum_ids
+            FROM events
+            WHERE user_id BETWEEN 2 AND 9
+              AND ts >= TIMESTAMP '2024-01-08'
+              AND ts <= TIMESTAMP '2024-01-18'
+            GROUP BY event_type
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -278,6 +278,7 @@ def encode_table(
     metrics: EngineMetrics | None = None,
     part_offset: int = 0,
     profile: str = "ratio",
+    pre_partitioned: bool = False,
 ) -> dict:
     """Encode ``df`` into ``out_dir``/{blocks,manifest,lineage}. Returns a
     metrics dict. Resumable: parts already marked done in lineage are skipped
@@ -293,7 +294,11 @@ def encode_table(
     epoch a disjoint part range so block keys stay globally unique).
     Crash safety: blocks carry ``run_id``; manifest aggregates ONLY this
     run's blocks, and decode trusts only (part_id, run_id) pairs committed
-    in lineage — stale partials from a crashed run are inert."""
+    in lineage — stale partials from a crashed run are inert.
+
+    ``pre_partitioned``: the caller already shuffled ``df`` and attached a
+    ``part_id`` column (e.g. ``zorder.cluster_by_zorder``) — skip the
+    internal hash/range plan and skew detection and encode as-is."""
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = metrics or EngineMetrics(spark)
     overrides = codec_overrides or {}
@@ -305,7 +310,14 @@ def encode_table(
         # — zero input scans) > a fresh scan (optionally sampled via
         # ``skew_sample_fraction``: one job over a ~0.1-1% sample instead of
         # two exact passes — the right default at 100 TB)
-        if salts is None:
+        if pre_partitioned:
+            if "part_id" not in df.columns:
+                raise ValueError(
+                    "pre_partitioned=True requires a part_id column "
+                    "(see zorder.cluster_by_zorder)"
+                )
+            salts = {}
+        elif salts is None:
             salts = (
                 skewed_hosts(
                     df, url_col, n_parts, sample_fraction=skew_sample_fraction
@@ -313,7 +325,10 @@ def encode_table(
                 if (detect_skew and mode == "hash")
                 else {}
             )
-        planned = plan_partitions(df, url_col, n_parts, mode=mode, salts=salts)
+        planned = (
+            df if pre_partitioned
+            else plan_partitions(df, url_col, n_parts, mode=mode, salts=salts)
+        )
         if part_offset:
             planned = planned.withColumn(
                 "part_id", (F.col("part_id") + F.lit(part_offset)).cast("int")
