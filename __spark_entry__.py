@@ -756,6 +756,34 @@ def _zorder_pushdown_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _bloom_pushdown_lookup(spark, sf_dir):
+    """Point-lookup pushdown no zone map can serve: documents are encoded
+    partitioned/sorted by n_chars (so url zone maps are useless — every
+    chunk spans the url space), but each chunk carries a url Bloom filter
+    (~10 bits/key); an equality probe prunes all but the ~1 chunk that
+    might hold the key before any payload read.  Oracle recomputes the
+    lookup from the raw table — correctness is plan-independent."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["n_chars"], bloom_cols=["url"])
+        dec = decode_table_direct(
+            spark, out, columns=["url", "lang", "n_chars"],
+            predicates=[("url", "==", "doc://d/123")],
+        )
+        res = dec.select("url", "lang", "n_chars").cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1322,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "pushdown_decode_agg": _pushdown_decode_agg,
         "zorder_pushdown_agg": _zorder_pushdown_agg,
+        "bloom_pushdown_lookup": _bloom_pushdown_lookup,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2188,6 +2217,10 @@ def oracle_sql() -> dict[str, str]:
               AND ts >= TIMESTAMP '2024-01-08'
               AND ts <= TIMESTAMP '2024-01-18'
             GROUP BY event_type
+        """,
+        "bloom_pushdown_lookup": """
+            SELECT 'doc://d/' || doc_id AS url, lang, n_chars
+            FROM documents WHERE doc_id = 123
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -175,30 +175,45 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
     """(part_id, chunk_id) keys whose zone-map stats MIGHT satisfy all
     predicates — a metadata-only query (payload column never read). Chunks
     without stats are kept (can't prune what wasn't measured)."""
+    from cuda_float_compress_spark.operators.bloom import bloom_probe_expr
+
+    # tables encoded before the bloom column existed prune on zone maps only
+    has_bloom = "bloom" in blocks.columns
+    stat_cols = ["part_id", "chunk_id", "vmin", "vmax", "ptype"] + (
+        ["bloom"] if has_bloom else []
+    )
+
+    def _bloom_maybe(member):
+        # "definitely absent" per the chunk's Bloom filter (null filter or
+        # non-bloomable value => maybe). Only equality-shaped ops use this.
+        if not has_bloom:
+            return F.lit(True)
+        return bloom_probe_expr(F.col("bloom"), member)
+
     keys = blocks.select("part_id", "chunk_id").distinct()
     for col, op, value in predicates:
-        stats = blocks.filter(F.col("col") == col).select(
-            "part_id", "chunk_id", "vmin", "vmax", "ptype"
-        )
+        stats = blocks.filter(F.col("col") == col).select(*stat_cols)
         ptype = stats.select("ptype").first()["ptype"]
         v = None if op == "in" else _predicate_value(value, ptype)
         if op in (">=", ">"):
             keep = F.col("vmax").isNull() | (F.col("vmax") >= v)
-        elif op in ("<=", "<"):
-            keep = F.col("vmin").isNull() | (F.col("vmin") <= v)
         elif op in ("==", "="):
             keep = (
                 F.col("vmin").isNull()
                 | ((F.col("vmin") <= v) & (F.col("vmax") >= v))
-            )
+            ) & _bloom_maybe(value)
+        elif op in ("<=", "<"):
+            keep = F.col("vmin").isNull() | (F.col("vmin") <= v)
         elif op == "in":
             # keep the chunk if ANY list member could fall in [vmin, vmax]
             # (v is the list here; each member converts like an equality)
+            # AND, when a Bloom filter is present, might be in the chunk
             any_hit = F.lit(False)
             for member in value:
                 mv = _predicate_value(member, ptype)
                 any_hit = any_hit | (
                     (F.col("vmin") <= mv) & (F.col("vmax") >= mv)
+                    & _bloom_maybe(member)
                 )
             keep = F.col("vmin").isNull() | any_hit
         else:

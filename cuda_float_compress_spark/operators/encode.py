@@ -59,6 +59,11 @@ BLOCKS_SCHEMA = T.StructType(
         # between the blocks append and the lineage write leaves stale
         # partials that must never double-count or corrupt decode
         T.StructField("run_id", T.StringType(), False),
+        # optional per-(chunk, column) Bloom filter over distinct values
+        # (operators/bloom.py): prunes equality/IN probes on columns whose
+        # zone maps can't (high-cardinality, unsorted — e.g. url). Null
+        # unless the encode opted the column in via ``bloom_cols``.
+        T.StructField("bloom", T.BinaryType(), True),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -79,6 +84,7 @@ _BLOCKS_ARROW = pa.schema(
         ("vmin", pa.int64()),
         ("vmax", pa.int64()),
         ("run_id", pa.string()),
+        ("bloom", pa.large_binary()),
         ("payload", pa.large_binary()),
     ]
 )
@@ -86,7 +92,8 @@ _BLOCKS_ARROW = pa.schema(
 
 def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                           overrides: dict, acc, run_id: str = "",
-                          profile: str = "ratio") -> pa.RecordBatch:
+                          profile: str = "ratio",
+                          bloom_cols: frozenset = frozenset()) -> pa.RecordBatch:
     cols = {name: [] for name in _BLOCKS_ARROW.names}
     data_cols = [c for c in tbl.column_names if c != "part_id"]
     for idx, name in enumerate(data_cols):
@@ -140,6 +147,21 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         cols["vmin"].append(vmin)
         cols["vmax"].append(vmax)
         cols["run_id"].append(run_id)
+        bloom = None
+        if name in bloom_cols and n > n_nulls:
+            from cuda_float_compress_spark.operators.bloom import bloom_build
+
+            nn = arr.drop_null() if n_nulls else arr
+            if ptype in ("string", "binary"):
+                bloom = bloom_build(nn.to_pylist())
+            elif ptype in ("int64", "int32"):
+                # ints hash via their decimal text form — the same bytes
+                # bloom_hashes derives from a probe literal
+                bloom = bloom_build(
+                    str(v)
+                    for v in nn.to_numpy(zero_copy_only=False).tolist()
+                )
+        cols["bloom"].append(bloom)
         cols["payload"].append(payload)
         if acc is not None:
             acc["raw_bytes"].add(raw)
@@ -152,7 +174,8 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
 
 
 def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
-                 run_id: str = "", profile: str = "ratio"):
+                 run_id: str = "", profile: str = "ratio",
+                 bloom_cols: frozenset = frozenset()):
     """Build the mapInArrow function. Parts arrive contiguous (sorted); cut a
     chunk when the buffer reaches chunk_rows rows or chunk_bytes bytes."""
 
@@ -169,7 +192,8 @@ def make_encoder(chunk_rows: int, chunk_bytes: int, overrides: dict, acc=None,
                 return None
             tbl = pa.Table.from_batches(buf)
             rb = _encode_chunk_to_rows(
-                tbl, cur_part, chunk_counter, overrides, acc, run_id, profile
+                tbl, cur_part, chunk_counter, overrides, acc, run_id,
+                profile, bloom_cols
             )
             chunk_counter += 1
             buf, buf_rows, buf_bytes = [], 0, 0
@@ -279,6 +303,7 @@ def encode_table(
     part_offset: int = 0,
     profile: str = "ratio",
     pre_partitioned: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``out_dir``/{blocks,manifest,lineage}. Returns a
     metrics dict. Resumable: parts already marked done in lineage are skipped
@@ -298,7 +323,11 @@ def encode_table(
 
     ``pre_partitioned``: the caller already shuffled ``df`` and attached a
     ``part_id`` column (e.g. ``zorder.cluster_by_zorder``) — skip the
-    internal hash/range plan and skew detection and encode as-is."""
+    internal hash/range plan and skew detection and encode as-is.
+
+    ``bloom_cols``: columns to attach per-chunk Bloom filters to (see
+    operators/bloom.py) — pay ~10 bits/distinct-value of metadata at encode
+    time to prune equality/IN probes that zone maps can't."""
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics = metrics or EngineMetrics(spark)
     overrides = codec_overrides or {}
@@ -349,7 +378,8 @@ def encode_table(
     planned = planned.sortWithinPartitions(*sort_cols)
 
     encoder = make_encoder(
-        chunk_rows, chunk_bytes, overrides, metrics.acc, run_id, profile
+        chunk_rows, chunk_bytes, overrides, metrics.acc, run_id, profile,
+        frozenset(bloom_cols or ()),
     )
     blocks = planned.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
 

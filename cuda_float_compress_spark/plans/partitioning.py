@@ -21,9 +21,13 @@ from pyspark.sql import functions as F
 
 
 def host_expr(url_col: str = "url"):
-    """Extract the host from a url column, JVM-side (no Python UDF)."""
+    """Extract the host from a url column, JVM-side (no Python UDF).
+
+    try_parse_url, not parse_url: under Spark 4's ANSI default a single
+    malformed url (inevitable in crawl data) would otherwise throw and kill
+    the whole encode job; invalid/absent hosts all partition as '<none>'."""
     return F.coalesce(
-        F.nullif(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")),
+        F.nullif(F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")),
         F.lit("<none>"),
     )
 

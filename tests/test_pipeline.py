@@ -137,6 +137,31 @@ def test_skew_sampled_detection_and_lineage_reuse(spark, webpages, scratch):
     assert all(r["ok"] for r in rep)
 
 
+def test_malformed_urls_partition_without_throwing(spark, scratch):
+    """Crawl data always carries garbage urls; under Spark 4's ANSI default
+    parse_url THROWS on them, so host_expr must use try_parse_url — a single
+    bad row must not kill a 100 TB encode. Bad/empty/null hosts partition
+    as '<none>' and round-trip bit-identically."""
+    rows = [
+        (0, "https://ok.example.com/a", "x"),
+        (1, "héllo wörld", "y"),        # invalid URL: spaces + non-ascii
+        (2, "", "z"),                   # empty
+        (3, None, "w"),                 # null
+        (4, "not a url at all %%%", "v"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, url: string, text: string")
+    from cuda_float_compress_spark.plans.partitioning import host_expr
+
+    hosts = {r["id"]: r["h"] for r in
+             df.select("id", host_expr("url").alias("h")).collect()}
+    assert hosts[0] == "ok.example.com"
+    assert all(hosts[i] == "<none>" for i in (1, 2, 3, 4))
+    encode_table(spark, df, scratch, n_parts=2, resume=False)
+    decoded = decode_table(spark, scratch)
+    got = sorted([(r["id"], r["url"], r["text"]) for r in decoded.collect()])
+    assert got == sorted(rows)
+
+
 def test_range_partition_mode(spark, webpages, scratch):
     encode_table(
         spark, webpages, scratch, n_parts=4, mode="range", resume=False
