@@ -784,6 +784,43 @@ def _bloom_pushdown_lookup(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _alp_decoded_prices(spark, sf_dir):
+    """Lossless decimal-float round trip through the ENCODED table: encode
+    lineitem (its four decimal double columns select the ALP codec —
+    codecs/core.py float_alp, per the public ALP scheme), decode with an
+    int-zone-map IN-list pushdown, and return the raw double values. The
+    oracle reads the same rows from the raw table — any codec rounding, even
+    1 ulp, breaks the hash. The reference only handles floats lossily
+    (quantized, src/cuszplus_f32.cu:384-388); this pins the engine's
+    LOSSLESS float frontier on real decimal data."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        li = _read(spark, sf_dir, "lineitem").withColumn(
+            "url",
+            F.concat(F.lit("ord://"), F.col("l_orderkey"),
+                     F.lit("/"), F.col("l_linenumber")),
+        )
+        encode_table(spark, li, out, n_parts=8, resume=False,
+                     sort_keys=["l_orderkey", "l_linenumber"])
+        dec = decode_table_direct(
+            spark, out,
+            columns=["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax"],
+            predicates=[("l_orderkey", "in", [1, 7, 32, 133])],
+        )
+        res = dec.select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ).cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1351,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_decode_agg": _pushdown_decode_agg,
         "zorder_pushdown_agg": _zorder_pushdown_agg,
         "bloom_pushdown_lookup": _bloom_pushdown_lookup,
+        "alp_decoded_prices": _alp_decoded_prices,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2221,6 +2259,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_pushdown_lookup": """
             SELECT 'doc://d/' || doc_id AS url, lang, n_chars
             FROM documents WHERE doc_id = 123
+        """,
+        "alp_decoded_prices": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey IN (1, 7, 32, 133)
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

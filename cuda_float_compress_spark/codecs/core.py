@@ -1057,10 +1057,201 @@ def float_byteplane_lz4_decode(payload: bytes, params: dict, n: int) -> np.ndarr
     return np.frombuffer(mat.T.copy().tobytes(), dtype=np.dtype(params["dtype"])).copy()
 
 
+# --- ALP: adaptive lossless floating-point (Afroozeh & Boncz, SIGMOD 2024,
+# public paper; also DuckDB's float codec). Two schemes:
+#   float_alp    — decimal floats: d = round(v * 10^s) round-trips
+#                  bit-identically for some per-chunk scale s, so the chunk
+#                  becomes an INTEGER chunk (reuse the int codec frontier:
+#                  FoR/delta/zigzag + bitpack) plus a patched exception list
+#                  for the values that don't (same patched-FOR idea as
+#                  int_patched_encode).
+#   float_alprd  — "real doubles": no decimal scale fits, but the HIGH bits
+#                  of the IEEE pattern (sign+exponent+leading mantissa) are
+#                  low-cardinality in real data; dictionary-encode the high
+#                  part, bitpack the raw low bits, patch dict misses.
+# Correctness never depends on float subtleties: the encoder REPLAYS the
+# exact decode expression and bit-compares, so any value the replay can't
+# reproduce becomes an exception carrying its raw IEEE word.
+
+_ALP_SCALES = tuple(range(-3, 19))  # 10^-3 .. 10^18 (10^18 < 2^63)
+_ALP_SAMPLE = 512
+
+
+def _alp_digits_to_float(d: np.ndarray, s: int, dtype: np.dtype) -> np.ndarray:
+    """THE decode expression (encoder replays it bit-exactly for the check).
+    Division for s >= 0, multiplication for s < 0 — pinning one form per
+    sign keeps encode and decode rounding identical."""
+    f = d.astype(np.float64)
+    out = f / (10.0 ** s) if s >= 0 else f * (10.0 ** (-s))
+    return out.astype(dtype)
+
+
+def _alp_try_scale(v64: np.ndarray, s: int, dtype: np.dtype,
+                   bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(digits, exact_mask) for scale s. Non-finite / overflow-unsafe values
+    are masked out before the int cast (nan would poison astype)."""
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = v64 * (10.0 ** s) if s >= 0 else v64 / (10.0 ** (-s))
+    safe = np.isfinite(scaled) & (np.abs(scaled) < float(2 ** 62))
+    d = np.rint(np.where(safe, scaled, 0.0)).astype(np.int64)
+    replay = _alp_digits_to_float(d, s, dtype)
+    exact = safe & (replay.view(bits.dtype) == bits)
+    return d, exact
+
+
+def float_alp_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """ALP decimal scheme. Scale chosen on a sample (most exact hits, then
+    smallest digit span), one full pass encodes; misses are patched with
+    their raw IEEE words so the codec is valid (if large) on ANY input —
+    the selector simply won't pick it when exceptions dominate."""
+    from cuda_float_compress_spark.codecs import select
+
+    dtype = v.dtype
+    ubits = v.view(np.uint32 if dtype.itemsize == 4 else np.uint64)
+    v64 = v.astype(np.float64)
+    n = len(v)
+    if n == 0:
+        return pack_sections(b"", b"", b""), {
+            "s": 0, "codec": "int_raw", "n_exc": 0, "dtype": str(dtype),
+        }
+    step = max(1, n // _ALP_SAMPLE)
+    vs, bs = v64[::step], ubits[::step]
+    best_s, best_hits, best_span = 0, -1, None
+    for s in _ALP_SCALES:
+        d, exact = _alp_try_scale(vs, s, dtype, bs)
+        hits = int(exact.sum())
+        span = int(d[exact].max() - d[exact].min()) if hits else 0
+        if hits > best_hits or (hits == best_hits and best_span is not None
+                                and span < best_span):
+            best_s, best_hits, best_span = s, hits, span
+    d, exact = _alp_try_scale(v64, best_s, dtype, ubits)
+    exc_pos = np.flatnonzero(~exact).astype(np.uint32)
+    if len(exc_pos):
+        # neutral fill keeps FoR/bitpack width driven by the real digits
+        fill = d[exact][0] if exact.any() else np.int64(0)
+        d[~exact] = fill
+    codec, payload, params = select.select_and_encode_int(
+        d, candidates=["int_for", "int_zz", "int_delta"]
+    )
+    params = dict(params)
+    params.update({
+        "s": best_s, "codec": codec, "n_exc": int(len(exc_pos)),
+        "dtype": str(dtype),
+    })
+    return (
+        pack_sections(payload, exc_pos.tobytes(), ubits[exc_pos].tobytes()),
+        params,
+    )
+
+
+def float_alp_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    dtype = np.dtype(params["dtype"])
+    digits_buf, pos_buf, exc_buf = unpack_sections(payload)
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    d = INT_CODECS[params["codec"]][1](digits_buf, params, n)
+    out = _alp_digits_to_float(d, int(params["s"]), dtype)
+    if int(params["n_exc"]):
+        pos = np.frombuffer(pos_buf, dtype=np.uint32)
+        ut = np.uint32 if dtype.itemsize == 4 else np.uint64
+        out = out.copy()
+        out.view(ut)[pos] = np.frombuffer(exc_buf, dtype=ut)
+    return out
+
+
+_ALPRD_MAX_DICT = 256
+
+
+def float_alprd_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """ALP-RD: split each IEEE word at a searched cut into a low-cardinality
+    HIGH part (dictionary + bitpacked codes) and raw LOW bits (bitpacked).
+    Words whose high part misses the (≤256-entry, frequency-ranked) dict are
+    patched as exceptions. The cut minimizes modeled bits over a handful of
+    candidates — real data concentrates sign/exponent/leading-mantissa."""
+    dtype = v.dtype
+    w = dtype.itemsize * 8
+    ut = np.uint32 if w == 32 else np.uint64
+    u = v.view(ut)
+    n = len(v)
+    if n == 0:
+        return pack_sections(b"", b"", b"", b"", b""), {
+            "r": w - 8, "dw": 0, "ndict": 0, "n_exc": 0, "dtype": str(dtype),
+        }
+    cuts = ([16, 20, 24, 12, 28] if w == 32
+            else [40, 44, 48, 36, 52, 56])
+    best = None
+    step = max(1, n // _ALP_SAMPLE)
+    us = u[::step]
+    for r in cuts:
+        high = us >> np.uint64(r) if w == 64 else us >> np.uint32(r)
+        vals, counts = np.unique(high, return_counts=True)
+        ndict = min(len(vals), _ALPRD_MAX_DICT)
+        miss = (len(us) - counts[np.argsort(counts)[::-1][:ndict]].sum())
+        dw = int(ndict - 1).bit_length()
+        bits_total = (len(us) * (r + dw)
+                      + miss / max(1, len(us)) * len(us) * (w + 32)
+                      + ndict * w)
+        if best is None or bits_total < best[0]:
+            best = (bits_total, r)
+    r = best[1]
+    shift = np.uint64(r) if w == 64 else np.uint32(r)
+    high = u >> shift
+    vals, counts = np.unique(high, return_counts=True)
+    order = np.argsort(counts)[::-1][:_ALPRD_MAX_DICT]
+    dict_vals = vals[order]
+    # code assignment via searchsorted over the sorted dict
+    sorted_dict = np.sort(dict_vals)
+    idx = np.searchsorted(sorted_dict, high)
+    idx_clip = np.minimum(idx, len(sorted_dict) - 1)
+    hit = sorted_dict[idx_clip] == high
+    codes = np.where(hit, idx_clip, 0).astype(np.uint64)
+    exc_pos = np.flatnonzero(~hit).astype(np.uint32)
+    dw = int(len(sorted_dict) - 1).bit_length()
+    low_mask = (np.uint64(1) << np.uint64(r)) - np.uint64(1)
+    low = (u.astype(np.uint64) & low_mask)
+    return (
+        pack_sections(
+            # codes are low-entropy (clustered exponents) — worth the zstd
+            # pass; the low bits are near-random mantissa tails, stored raw
+            zstd_compress(bitpack(codes, dw)),
+            bitpack(low, r),
+            sorted_dict.astype(np.uint64).tobytes(),
+            exc_pos.tobytes(),
+            u[exc_pos].tobytes(),
+        ),
+        {
+            "r": int(r), "dw": dw, "ndict": int(len(sorted_dict)),
+            "n_exc": int(len(exc_pos)), "dtype": str(dtype),
+        },
+    )
+
+
+def float_alprd_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    dtype = np.dtype(params["dtype"])
+    w = dtype.itemsize * 8
+    ut = np.uint32 if w == 32 else np.uint64
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    codes_buf, low_buf, dict_buf, pos_buf, exc_buf = unpack_sections(payload)
+    r, dw = int(params["r"]), int(params["dw"])
+    sorted_dict = np.frombuffer(dict_buf, dtype=np.uint64)
+    codes = bitunpack(
+        zstd_decompress(codes_buf, dw * ((n + 7) // 8)), dw, n
+    )
+    low = bitunpack(low_buf, r, n)
+    u = ((sorted_dict[codes] << np.uint64(r)) | low).astype(ut)
+    if int(params["n_exc"]):
+        pos = np.frombuffer(pos_buf, dtype=np.uint32)
+        u[pos] = np.frombuffer(exc_buf, dtype=ut)
+    return u.view(dtype).copy()
+
+
 FLOAT_CODECS = {
     "float_raw": (float_raw_encode, float_raw_decode),
     "float_byteplane": (float_byteplane_encode, float_byteplane_decode),
     "float_byteplane_lz4": (float_byteplane_lz4_encode, float_byteplane_lz4_decode),
+    "float_alp": (float_alp_encode, float_alp_decode),
+    "float_alprd": (float_alprd_encode, float_alprd_decode),
 }
 
 

@@ -248,6 +248,13 @@ def compact(
     cols = table_columns(blocks)
     col_ptypes = dict(cols)
     ordered = [c for c, _ in cols]
+    # preserve Bloom-filter coverage across compaction: rebuild filters for
+    # every column that carried one in the source (metadata-scale collect)
+    bloom_cols = frozenset(
+        r["col"]
+        for r in blocks.filter(F.col("bloom").isNotNull())
+        .select("col").distinct().collect()
+    ) if "bloom" in blocks.columns else frozenset()
 
     def recompact(key: tuple, tbl: pa.Table) -> pa.Table:
         part_id = key[0].as_py() if hasattr(key[0], 'as_py') else int(key[0])
@@ -283,7 +290,8 @@ def compact(
         while off < full.num_rows:
             piece = full.slice(off, chunk_rows)
             out_batches.append(
-                _encode_chunk_to_rows(piece, part_id, cid, {}, None, run_id)
+                _encode_chunk_to_rows(piece, part_id, cid, {}, None, run_id,
+                                      bloom_cols=bloom_cols)
             )
             off += piece.num_rows
             cid += 1
@@ -292,10 +300,12 @@ def compact(
         else:
             result = pa.Table.from_batches(out_batches)
         # applyInArrow enforces binary (not large_binary) for BinaryType
-        idx = result.schema.get_field_index("payload")
-        return result.set_column(
-            idx, "payload", result.column("payload").cast(pa.binary())
-        )
+        for name in ("payload", "bloom"):
+            idx = result.schema.get_field_index(name)
+            result = result.set_column(
+                idx, name, result.column(name).cast(pa.binary())
+            )
+        return result
 
     new_blocks = blocks.groupBy("part_id").applyInArrow(recompact, BLOCKS_SCHEMA)
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")

@@ -127,3 +127,26 @@ def test_decode_with_bloom_predicate_is_exact(spark, encoded_docs):
         ).collect()
     )
     assert got_in == [7, 250]
+
+
+def test_compact_preserves_bloom_filters(spark, encoded_docs, tmp_path):
+    """Compaction re-chunks; columns that carried Bloom filters must carry
+    rebuilt ones in the compacted layout (else point-lookup pruning silently
+    degrades after maintenance)."""
+    from cuda_float_compress_spark.operators.decode import committed_blocks
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.maintain import compact
+
+    packed = str(tmp_path / "packed")
+    stats = compact(spark, encoded_docs, packed, chunk_rows=32768)
+    assert stats["chunks_after"] < stats["chunks_before"]
+    blocks = committed_blocks(spark, packed)
+    with_bloom = blocks.filter(
+        (blocks.col == "url") & blocks.bloom.isNotNull()
+    ).count()
+    assert with_bloom > 0, "compacted url chunks lost their Bloom filters"
+    got = decode_table_direct(
+        spark, packed, columns=["doc_id", "url"],
+        predicates=[("url", "==", "doc://d/123")],
+    ).collect()
+    assert [(r["doc_id"], r["url"]) for r in got] == [(123, "doc://d/123")]
