@@ -12,11 +12,14 @@ metadata directly (public spec: iceberg.apache.org/spec/):
     spark.read.parquet(*files)       -> DataFrame
 
 Supports format-version 1 and 2, snapshot selection by id or timestamp
-(time travel), deleted-entry filtering (status=2), and relocated tables
-(paths re-rooted when the recorded absolute locations do not exist).
-Merge-on-read DELETE files (v2 position/equality deletes) raise
-NotImplementedError — applying them needs an anti-join pipeline this
-engine does not ship, and silently ignoring them would return wrong rows.
+(time travel), deleted-entry filtering (status=2), relocated tables
+(paths re-rooted when the recorded absolute locations do not exist), and
+v2 MERGE-ON-READ deletes: position deletes anti-join on the parquet
+reader's native (_metadata.file_path, _metadata.row_index), equality
+deletes anti-join null-safely on their field-id-mapped columns, both with
+the spec's sequence-number scoping (see ``read_iceberg_dir``). The
+path-only view (``data_files``) refuses tables carrying deletes rather
+than resurrect deleted rows.
 
 ``write_iceberg_fixture`` is the test twin (the encode_png/encode_jpeg
 playbook): it writes a real two-snapshot Iceberg v2 table — parquet data
@@ -142,37 +145,90 @@ def data_files(table_dir: str, snapshot_id=None, as_of_ms=None) -> list[str]:
     return data_files_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
 
 
-def data_files_from_metadata(meta: dict, table_dir: str, snapshot_id=None,
-                             as_of_ms=None) -> list[str]:
-    """Like :func:`data_files`, from an in-memory TableMetadata dict (the
-    shape a REST catalog's LoadTableResult carries — sources/iceberg_rest)."""
+def scan_plan_from_metadata(meta: dict, table_dir: str, snapshot_id=None,
+                            as_of_ms=None) -> dict:
+    """Full v2 scan plan for a snapshot: live data files AND merge-on-read
+    delete files, each with its data sequence number (the spec's scoping
+    rule: a position delete applies to data files with seq <= the delete's;
+    an equality delete applies STRICTLY before, seq < the delete's).
+
+    Returns {'data': [...], 'pos_deletes': [...], 'eq_deletes': [...]},
+    entries {'recorded': path-as-written, 'path': resolved local path,
+    'seq': int} (+ 'equality_ids' for eq_deletes). Sequence-number
+    inheritance: a null entry seq inherits the manifest-list value
+    (v2 spec); format-version 1 tables have no deletes and seq 0."""
     snap = _select_snapshot(meta, snapshot_id, as_of_ms)
     if "manifest-list" in snap:
         manifest_files = read_avro(_resolve(snap["manifest-list"], table_dir))
     else:  # format-version 1 inline manifests
-        manifest_files = [{"manifest_path": p, "content": 0}
+        manifest_files = [{"manifest_path": p, "content": 0,
+                           "sequence_number": 0}
                           for p in snap.get("manifests", [])]
-    files: list[str] = []
+    plan = {"data": [], "pos_deletes": [], "eq_deletes": []}
     for mf in manifest_files:
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "iceberg DELETE manifests (merge-on-read) are not supported; "
-                "compact the table (rewrite_data_files) before reading"
-            )
+        mseq = int(mf.get("sequence_number") or 0)
         entries = read_avro(_resolve(mf["manifest_path"], table_dir))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED entry
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg v2 delete files are not supported"
-                )
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(f"iceberg {fmt} data files")
-            files.append(_resolve(df["file_path"], table_dir))
-    return sorted(set(files))
+            seq = e.get("sequence_number")
+            rec = {
+                "recorded": df["file_path"],
+                "path": _resolve(df["file_path"], table_dir),
+                "seq": int(seq) if seq is not None else mseq,
+            }
+            content = int(df.get("content", 0))
+            if content == 0:
+                plan["data"].append(rec)
+            elif content == 1:
+                plan["pos_deletes"].append(rec)
+            elif content == 2:
+                rec["equality_ids"] = list(df.get("equality_ids") or [])
+                if not rec["equality_ids"]:
+                    raise ValueError(
+                        "iceberg equality delete file without equality_ids"
+                    )
+                plan["eq_deletes"].append(rec)
+            else:
+                raise ValueError(f"unknown iceberg file content {content}")
+    return plan
+
+
+def data_files_from_metadata(meta: dict, table_dir: str, snapshot_id=None,
+                             as_of_ms=None) -> list[str]:
+    """Like :func:`data_files`, from an in-memory TableMetadata dict (the
+    shape a REST catalog's LoadTableResult carries — sources/iceberg_rest).
+    Path-only view: raises on tables carrying merge-on-read deletes, where
+    a bare file list would return deleted rows — use
+    :func:`read_iceberg_dir`, which applies them."""
+    plan = scan_plan_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
+    if plan["pos_deletes"] or plan["eq_deletes"]:
+        raise ValueError(
+            "snapshot carries merge-on-read delete files; a path-only scan "
+            "would resurrect deleted rows — read via read_iceberg_dir"
+        )
+    return sorted({d["path"] for d in plan["data"]})
+
+
+def _norm_path_col(col):
+    """JVM-side twin of _strip_scheme for the common local spellings:
+    file:///p and file:/p both -> /p (matches _metadata.file_path and
+    recorded delete-file paths against the plan's resolved paths)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _field_id_names(meta: dict) -> dict[int, str]:
+    sid = meta.get("current-schema-id", 0)
+    for s in meta.get("schemas", []):
+        if s.get("schema-id", 0) == sid:
+            return {f["id"]: f["name"] for f in s.get("fields", [])}
+    return {}
 
 
 def read_iceberg_dir(
@@ -183,11 +239,109 @@ def read_iceberg_dir(
 ) -> DataFrame:
     """Read an on-disk Iceberg table (v1/v2) without the Iceberg runtime:
     metadata JSON -> manifest-list avro -> manifest avro -> parquet scan.
-    ``snapshot_id`` / ``as_of_ms`` select history (time travel)."""
-    files = data_files(table_dir, snapshot_id, as_of_ms)
-    if not files:
-        raise ValueError(f"snapshot has no data files in {table_dir}")
-    return spark.read.parquet(*files)
+    ``snapshot_id`` / ``as_of_ms`` select history (time travel).
+    Merge-on-read deletes are APPLIED — see :func:`read_scan_plan`."""
+    meta = load_table_metadata(table_dir)
+    plan = scan_plan_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
+    return read_scan_plan(spark, meta, plan)
+
+
+def read_scan_plan(spark: SparkSession, meta: dict, plan: dict) -> DataFrame:
+    """Scan a :func:`scan_plan_from_metadata` plan, applying merge-on-read
+    deletes: position deletes anti-join on the parquet reader's native
+    (_metadata.file_path, _metadata.row_index) — exactly the (file, pos)
+    key the spec defines, no synthetic row ids — and equality deletes
+    anti-join null-safely on their id-mapped columns. Sequence-number
+    scoping per spec: pos deletes hit files with data_seq <= delete_seq,
+    eq deletes STRICTLY data_seq < delete_seq (a file added in the same
+    snapshot as an eq delete is not affected by it). Scale: file/seq maps
+    are metadata-sized broadcasts; delete parquet is scanned distributed;
+    the anti-joins shuffle on (path, pos) / the equality key only."""
+    from pyspark.sql import functions as F
+
+    by_path: dict[str, int] = {}
+    for d in plan["data"]:
+        by_path[d["path"]] = max(by_path.get(d["path"], 0), d["seq"])
+    if not by_path:
+        raise ValueError("snapshot has no data files")
+    df = spark.read.parquet(*sorted(by_path))
+    if not plan["pos_deletes"] and not plan["eq_deletes"]:
+        return df
+    out_cols = df.columns
+    df = df.withColumns({
+        "__dpath": _norm_path_col(F.col("_metadata.file_path")),
+        "__dpos": F.col("_metadata.row_index"),
+    })
+    seq_df = spark.createDataFrame(
+        [(p, s) for p, s in by_path.items()], "__dpath: string, __dseq: long"
+    )
+    df = df.join(F.broadcast(seq_df), "__dpath", "left")
+
+    if plan["pos_deletes"]:
+        # recorded-path -> resolved-path map (relocated tables keep working:
+        # delete rows reference the path AS WRITTEN, the scan uses resolved)
+        rec_map = sorted({(_strip_scheme(d["recorded"]), d["path"])
+                          for d in plan["data"]})
+        rec_df = spark.createDataFrame(
+            rec_map, "__rec: string, __pd_path: string"
+        )
+        del_seq = spark.createDataFrame(
+            sorted({(d["path"], d["seq"]) for d in plan["pos_deletes"]}),
+            "__delfile: string, __pd_seq: long",
+        )
+        dels = (
+            spark.read.parquet(*sorted({d["path"]
+                                        for d in plan["pos_deletes"]}))
+            .select(
+                _norm_path_col(F.col("file_path")).alias("__rec"),
+                F.col("pos").alias("__pd_pos"),
+                _norm_path_col(F.col("_metadata.file_path"))
+                .alias("__delfile"),
+            )
+            .join(F.broadcast(del_seq), "__delfile")
+            .join(F.broadcast(rec_df), "__rec")
+            .select("__pd_path", "__pd_pos", "__pd_seq")
+        )
+        df = df.join(
+            dels,
+            (df["__dpath"] == dels["__pd_path"])
+            & (df["__dpos"] == dels["__pd_pos"])
+            & (dels["__pd_seq"] >= df["__dseq"]),
+            "left_anti",
+        )
+
+    if plan["eq_deletes"]:
+        id_names = _field_id_names(meta)
+        groups: dict[tuple, list] = {}
+        for d in plan["eq_deletes"]:
+            groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+        for ids, dlist in sorted(groups.items()):
+            try:
+                cols = [id_names[i] for i in ids]
+            except KeyError as e:
+                raise ValueError(
+                    f"equality delete references unknown field id {e}"
+                ) from None
+            del_seq = spark.createDataFrame(
+                sorted({(d["path"], d["seq"]) for d in dlist}),
+                "__delfile: string, __eq_seq: long",
+            )
+            eq = (
+                spark.read.parquet(*sorted({d["path"] for d in dlist}))
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    _norm_path_col(F.col("_metadata.file_path"))
+                    .alias("__delfile"),
+                )
+                .join(F.broadcast(del_seq), "__delfile")
+                .drop("__delfile")
+            )
+            cond = eq["__eq_seq"] > df["__dseq"]  # strictly-before scoping
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(eq[f"__eq_{c}"])
+            df = df.join(eq, cond, "left_anti")
+
+    return df.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +378,29 @@ _MANIFEST_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+# delete manifests carry the same entry shape plus equality_ids (field 135)
+_DELETE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        *[f for f in _MANIFEST_SCHEMA["fields"] if f["name"] != "data_file"],
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    *_MANIFEST_SCHEMA["fields"][-1]["type"]["fields"],
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None, "field-id": 135},
                 ],
             },
         },
@@ -446,8 +623,16 @@ def export_iceberg_metadata(
 
 def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
     """Write a real Iceberg v2 table: one snapshot per entry of
-    ``snapshots_rows`` (each a list of pandas DataFrames -> one parquet data
-    file each); snapshot N contains every file of snapshots 1..N.
+    ``snapshots_rows``. Each entry is either
+
+    * a list of pandas DataFrames — an APPEND snapshot, one parquet data
+      file per frame (snapshot N carries every file of snapshots 1..N), or
+    * a dict — a MERGE-ON-READ delete snapshot:
+      ``{"pos_deletes": [(data_file_ordinal, row_pos), ...]}`` writes a
+      position-delete parquet (file_path, pos) + a content=1 delete
+      manifest; ``{"eq_deletes": {"rows": DataFrame, "ids": [field_ids]}}``
+      writes an equality-delete parquet over the id-mapped columns.
+
     Returns {'snapshot_ids': [...], 'timestamps_ms': [...]}."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -457,6 +642,8 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
     os.makedirs(ddir, exist_ok=True)
     os.makedirs(mdir, exist_ok=True)
     all_entries: list[dict] = []
+    delete_ml_rows: list[dict] = []  # delete-manifest list rows, carried
+    data_paths: list[str] = []  # ordinal -> recorded path (for pos deletes)
     snap_meta = []
     snapshot_ids = []
     timestamps = []
@@ -471,6 +658,123 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
         ts = base_ts + si * 60_000
         added_files = 0
         added_rows = 0
+        if isinstance(dfs, dict):
+            # --- merge-on-read delete snapshot ---------------------------
+            fname = f"{uuid.uuid4().hex[:12]}-deletes.parquet"
+            dpath = os.path.join(ddir, fname)
+            if "pos_deletes" in dfs:
+                content = 1
+                eq_ids = None
+                pq.write_table(
+                    pa.table({
+                        "file_path": pa.array(
+                            [data_paths[i] for i, _ in dfs["pos_deletes"]],
+                            pa.string(),
+                        ),
+                        "pos": pa.array(
+                            [int(p) for _, p in dfs["pos_deletes"]],
+                            pa.int64(),
+                        ),
+                    }),
+                    dpath,
+                )
+                n_del = len(dfs["pos_deletes"])
+            else:
+                content = 2
+                eq_ids = [int(i) for i in dfs["eq_deletes"]["ids"]]
+                id_names = {f["id"]: f["name"]
+                            for f in schema_json["fields"]}
+                cols = [id_names[i] for i in eq_ids]
+                rows = dfs["eq_deletes"]["rows"]
+                pq.write_table(
+                    pa.Table.from_pandas(rows[cols], preserve_index=False),
+                    dpath,
+                )
+                n_del = len(rows)
+            del_entry = {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherit the manifest-list seq
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "equality_ids": eq_ids,
+                },
+            }
+            dman_path = os.path.join(mdir, f"delete-manifest-{snap_id}.avro")
+            write_avro(dman_path, _DELETE_MANIFEST_SCHEMA, [del_entry],
+                       extra_meta=_manifest_avro_meta(schema_json))
+            delete_ml_rows.append(
+                {
+                    "manifest_path": dman_path,
+                    "manifest_length": os.path.getsize(dman_path),
+                    "partition_spec_id": 0,
+                    "content": 1,  # manifest-list: 1 = delete manifest
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_del,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+            # the data manifest: every data file carried over as EXISTING
+            entries = [
+                dict(e, status=0,
+                     sequence_number=snap_seq[e["snapshot_id"]],
+                     file_sequence_number=snap_seq[e["snapshot_id"]])
+                for e in all_entries
+            ]
+            man_path = os.path.join(mdir, f"manifest-{snap_id}.avro")
+            write_avro(man_path, _MANIFEST_SCHEMA, entries,
+                       extra_meta=_manifest_avro_meta(schema_json))
+            ml_path = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                ml_path,
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    {
+                        "manifest_path": man_path,
+                        "manifest_length": os.path.getsize(man_path),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": snap_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(entries),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in entries
+                        ),
+                        "deleted_rows_count": 0,
+                    },
+                    *delete_ml_rows,
+                ],
+                extra_meta={"format-version": "2"},
+            )
+            snap_meta.append(
+                {
+                    "snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "timestamp-ms": ts,
+                    "manifest-list": ml_path,
+                    "schema-id": 0,
+                    "summary": {"operation": "delete"},
+                }
+            )
+            snapshot_ids.append(snap_id)
+            timestamps.append(ts)
+            continue
         for df in dfs:
             fname = f"{uuid.uuid4().hex[:12]}.parquet"
             fpath = os.path.join(ddir, fname)
@@ -480,6 +784,7 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
                 schema_json, last_col = _schema_from_parquet(fpath)
             added_files += 1
             added_rows += len(df)
+            data_paths.append(fpath)
             all_entries.append(
                 {
                     "status": 1,
@@ -536,7 +841,9 @@ def write_iceberg_fixture(table_dir: str, snapshots_rows: list) -> dict:
                     "added_rows_count": added_rows,
                     "existing_rows_count": existing_rows,
                     "deleted_rows_count": 0,
-                }
+                },
+                # deletes from earlier snapshots stay in force
+                *delete_ml_rows,
             ],
             extra_meta={"format-version": "2"},
         )

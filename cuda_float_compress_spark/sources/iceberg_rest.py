@@ -35,10 +35,6 @@ import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cuda_float_compress_spark.sources.iceberg import (
-    data_files_from_metadata,
-)
-
 
 class RestCatalog:
     """Minimal Iceberg REST catalog client.
@@ -146,19 +142,19 @@ def read_iceberg_rest(
 ) -> DataFrame:
     """Read an Iceberg table through a REST catalog service (no jars):
     catalog request -> TableMetadata -> manifest walk -> parquet scan,
-    with the same snapshot-id / timestamp time travel as
-    :func:`read_iceberg_dir`."""
-    from cuda_float_compress_spark.sources.iceberg import _strip_scheme
+    with the same snapshot-id / timestamp time travel AND merge-on-read
+    delete application as :func:`read_iceberg_dir`."""
+    from cuda_float_compress_spark.sources.iceberg import (
+        _strip_scheme,
+        read_scan_plan,
+        scan_plan_from_metadata,
+    )
 
     cat = RestCatalog(uri, token=token, prefix=prefix)
     meta = cat.load_table(namespace, table)
     table_dir = _strip_scheme(str(meta.get("location", "")))
-    files = data_files_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
-    if not files:
-        raise ValueError(
-            f"snapshot has no data files in {namespace}.{table}"
-        )
-    return spark.read.parquet(*files)
+    plan = scan_plan_from_metadata(meta, table_dir, snapshot_id, as_of_ms)
+    return read_scan_plan(spark, meta, plan)
 
 
 class serve_catalog_fixture:

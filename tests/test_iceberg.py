@@ -132,32 +132,85 @@ def test_iceberg_relocated_table(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4, 5]
 
 
-def test_iceberg_refuses_delete_files(spark, tmp_path):
-    """v2 merge-on-read delete files must raise, not silently return wrong
-    rows."""
-    from cuda_float_compress_spark.sources.iceberg import (
-        _MANIFEST_LIST_SCHEMA,
-        _MANIFEST_SCHEMA,
+def test_iceberg_position_deletes(spark, tmp_path):
+    """v2 merge-on-read position deletes: anti-join on the parquet reader's
+    native (_metadata.file_path, _metadata.row_index); path-only scans
+    refuse the table instead of resurrecting deleted rows; time travel to a
+    pre-delete snapshot still sees everything."""
+    tdir = str(tmp_path / "ice_posdel")
+    info = write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}),
+             pd.DataFrame({"id": [3, 4, 5], "v": ["c", "d", "e"]})],
+            # delete file-0 pos 0 (id=1) and file-1 pos 2 (id=5)
+            {"pos_deletes": [(0, 0), (1, 2)]},
+        ],
     )
+    cur = read_iceberg_dir(spark, tdir)
+    assert sorted(r["id"] for r in cur.collect()) == [2, 3, 4]
+    pre = read_iceberg_dir(spark, tdir, snapshot_id=info["snapshot_ids"][0])
+    assert sorted(r["id"] for r in pre.collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="merge-on-read"):
+        data_files(tdir)
 
-    tdir, info = _fixture(tmp_path)
-    mdir = f"{tdir}/metadata"
-    # rewrite the current manifest list with a delete-content manifest
-    meta = json.load(open(f"{mdir}/v2.metadata.json"))
-    ml_path = meta["snapshots"][-1]["manifest-list"]
-    mf = read_avro(ml_path)
-    mf[0]["content"] = 1  # DELETES manifest
-    write_avro(ml_path, _MANIFEST_LIST_SCHEMA, mf)
-    with pytest.raises(NotImplementedError, match="DELETE"):
-        data_files(tdir)
-    # and a delete-content data_file entry inside a data manifest
-    mf[0]["content"] = 0
-    write_avro(ml_path, _MANIFEST_LIST_SCHEMA, mf)
-    man = read_avro(mf[0]["manifest_path"])
-    man[0]["data_file"]["content"] = 1
-    write_avro(mf[0]["manifest_path"], _MANIFEST_SCHEMA, man)
-    with pytest.raises(NotImplementedError, match="delete files"):
-        data_files(tdir)
+
+def test_iceberg_position_deletes_survive_relocation(spark, tmp_path):
+    """Deletes reference data files by RECORDED path; after the table
+    directory moves, the recorded->resolved map must still line them up
+    with the scan's _metadata paths."""
+    tdir = str(tmp_path / "ice_mv")
+    write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]})],
+            {"pos_deletes": [(0, 1)]},  # id=2
+        ],
+    )
+    moved = str(tmp_path / "ice_mv2")
+    shutil.move(tdir, moved)
+    out = read_iceberg_dir(spark, moved)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_iceberg_equality_deletes_strict_sequence_scope(spark, tmp_path):
+    """Equality deletes remove matching rows from files with data seq
+    STRICTLY below the delete's — a row re-inserted AFTER the delete
+    survives while the older copy dies. Null-safe matching: an eq-delete
+    row with a null value removes rows whose column IS null."""
+    tdir = str(tmp_path / "ice_eqdel")
+    write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", None]})],
+            # delete by equality on v (field id 2): v='b' and v IS NULL
+            {"eq_deletes": {"rows": pd.DataFrame({"v": ["b", None]}),
+                            "ids": [2]}},
+            # re-insert a v='b' row AFTER the delete: must survive
+            [pd.DataFrame({"id": [9], "v": ["b"]})],
+        ],
+    )
+    cur = read_iceberg_dir(spark, tdir)
+    got = sorted((r["id"], r["v"]) for r in cur.collect())
+    assert got == [(1, "a"), (9, "b")]
+    # deletes persist into later append snapshots' scans (carried manifest)
+    deleted_ids = {2, 3}
+    assert not deleted_ids & {i for i, _ in got}
+
+
+def test_iceberg_pos_and_eq_deletes_combined(spark, tmp_path):
+    tdir = str(tmp_path / "ice_both")
+    write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"id": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})],
+            {"pos_deletes": [(0, 0)]},                      # id=1
+            {"eq_deletes": {"rows": pd.DataFrame({"v": ["c"]}),
+                            "ids": [2]}},                   # id=3
+        ],
+    )
+    cur = read_iceberg_dir(spark, tdir)
+    assert sorted(r["id"] for r in cur.collect()) == [2, 4]
 
 
 def test_publish_blocks_iceberg_over_encoded_table(spark, tmp_path):
@@ -428,3 +481,25 @@ def test_iceberg_rest_catalog_read(spark, tmp_path):
     finally:
         srv.shutdown()
         thread.join(timeout=5)
+
+
+def test_iceberg_rest_read_applies_deletes(spark, tmp_path):
+    """The REST catalog read path shares read_scan_plan, so a table whose
+    current snapshot carries merge-on-read deletes comes back with them
+    applied (not resurrected, not refused)."""
+    from cuda_float_compress_spark.sources.iceberg_rest import (
+        read_iceberg_rest,
+        serve_catalog_fixture,
+    )
+
+    tdir = str(tmp_path / "ice_rest_del")
+    write_iceberg_fixture(
+        tdir,
+        [
+            [pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]})],
+            {"pos_deletes": [(0, 1)]},  # id=2
+        ],
+    )
+    with serve_catalog_fixture({("web", "pages"): tdir}) as uri:
+        out = read_iceberg_rest(spark, uri, "web", "pages")
+        assert sorted(r["id"] for r in out.collect()) == [1, 3]
