@@ -821,6 +821,39 @@ def _alp_decoded_prices(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _merge_on_read_delete_agg(spark, sf_dir):
+    """Merge-on-read deletes on the engine's own encoded table
+    (operators/deletes): encode documents, tombstone lang='de' rows by
+    predicate (one distributed address scan — only (part, chunk, pos)
+    rows are written, never data), decode and aggregate. The oracle
+    recomputes from the raw table WITHOUT the deleted rows — resurrection
+    or over-deletion breaks rows and hash. Iceberg-position-delete
+    semantics on the native block format."""
+    from cuda_float_compress_spark.operators.deletes import delete_rows
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["doc_id"])
+        delete_rows(spark, out, [("lang", "==", "de")])
+        dec = decode_table_direct(spark, out, columns=["lang", "n_chars"])
+        res = (
+            dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1389,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pushdown_agg": _zorder_pushdown_agg,
         "bloom_pushdown_lookup": _bloom_pushdown_lookup,
         "alp_decoded_prices": _alp_decoded_prices,
+        "merge_on_read_delete_agg": _merge_on_read_delete_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2264,6 +2298,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice, l_discount, l_tax
             FROM lineitem WHERE l_orderkey IN (1, 7, 32, 133)
+        """,
+        "merge_on_read_delete_agg": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE lang <> 'de'
+            GROUP BY lang
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

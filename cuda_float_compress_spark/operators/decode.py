@@ -264,6 +264,7 @@ def decode_table(
     predicates: list[tuple] | None = None,
     as_of: float | None = None,
     parts: list[int] | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
@@ -271,7 +272,15 @@ def decode_table(
     pushdown), then apply the exact filter to the decoded rows. ``as_of``
     (epoch seconds) time-travels the append-only table to a past snapshot
     (see committed_blocks). ``parts`` restricts the decode to a part-id
-    subset (incremental consumers: the part_id is the unit of progress)."""
+    subset (incremental consumers: the part_id is the unit of progress).
+    ``apply_deletes``: anti-join committed tombstones (operators/deletes) —
+    on by default; both decode paths agree on merge-on-read semantics."""
+    from cuda_float_compress_spark.operators.deletes import (
+        anti_join_tombstones,
+        tombstones_df,
+    )
+
+    tombs = tombstones_df(spark, out_dir) if apply_deletes else None
     blocks = committed_blocks(spark, out_dir, as_of=as_of)
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
@@ -287,12 +296,18 @@ def decode_table(
     out_fields = [f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols]
     if keep_part_id:
         out_fields = ["part_id int"] + out_fields
-    out_schema = ", ".join(out_fields)
     arrow_fields = [pa.field(c, _STD_ARROW[p]) for c, p in cols]
     if keep_part_id:
         arrow_fields = [pa.field("part_id", pa.int32())] + arrow_fields
+    if tombs is not None:
+        out_fields += ["_part_id int", "_chunk_id bigint", "_pos bigint"]
+        arrow_fields += [pa.field("_part_id", pa.int32()),
+                         pa.field("_chunk_id", pa.int64()),
+                         pa.field("_pos", pa.int64())]
+    out_schema = ", ".join(out_fields)
     arrow_schema = pa.schema(arrow_fields)
     col_ptypes = dict(cols)
+    with_address = tombs is not None
 
     def decode_chunk(key: tuple, tbl: pa.Table) -> pa.Table:
         # applyInArrow passes grouping keys as pyarrow scalars
@@ -327,11 +342,22 @@ def decode_table(
             out["part_id"] = pa.array([int(part_id)] * n_rows, type=pa.int32())
         for c, _ in cols:
             out[c] = by_col[c]
+        if with_address:
+            chunk_id = key[1].as_py() if hasattr(key[1], "as_py") else int(key[1])
+            out["_part_id"] = pa.array([int(part_id)] * n_rows,
+                                       type=pa.int32())
+            out["_chunk_id"] = pa.array([int(chunk_id)] * n_rows,
+                                        type=pa.int64())
+            out["_pos"] = pa.array(range(n_rows), type=pa.int64())
         return pa.table(out, schema=arrow_schema)
 
     decoded = (
         blocks.groupBy("part_id", "chunk_id").applyInArrow(decode_chunk, out_schema)
     )
+    if tombs is not None:
+        decoded = anti_join_tombstones(decoded, tombs)
+        keep = (["part_id"] if keep_part_id else []) + [c for c, _ in cols]
+        decoded = decoded.select(*keep)
     if predicates:
         decoded = _exact_filter(decoded, predicates, dict(cols))
         if columns is not None:

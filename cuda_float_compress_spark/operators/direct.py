@@ -60,12 +60,19 @@ def _to_us_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
 
 def decode_table_direct(spark: SparkSession, out_dir: str,
                         columns: list[str] | None = None,
-                        predicates: list[tuple] | None = None):
+                        predicates: list[tuple] | None = None,
+                        with_row_address: bool = False,
+                        apply_deletes: bool = True):
     """Shuffle-free decode: every encode task wrote whole chunks to its own
     blocks file, so chunks never span files — each decode task reads one
     blocks file with pyarrow and reconstructs its chunks locally. The
     shuffle-based ``decode_table`` remains for blocks that were compacted or
-    rewritten by other tools."""
+    rewritten by other tools.
+
+    ``apply_deletes``: anti-join committed tombstones (operators/deletes) —
+    on by default so merge-on-read deletes are never silently resurrected.
+    ``with_row_address``: emit the stable (_part_id, _chunk_id, _pos)
+    address columns (delete_rows uses this to compute tombstones)."""
     import numpy as np
 
     from cuda_float_compress_spark.operators import chunks as Ch
@@ -111,8 +118,24 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         cols = [(c, p) for c, p in cols if c in want]
     col_ptypes = dict(cols)
     want_cols = [c for c, _ in cols]
+    from cuda_float_compress_spark.operators.deletes import (
+        ADDRESS_COLS,
+        anti_join_tombstones,
+        tombstones_df,
+    )
+
+    tombs = tombstones_df(spark, out_dir) if apply_deletes else None
+    address = bool(with_row_address or tombs is not None)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols)
     arrow_schema = pa.schema([pa.field(c, _STD_ARROW[p]) for c, p in cols])
+    if address:
+        out_schema += ", _part_id int, _chunk_id bigint, _pos bigint"
+        arrow_schema = pa.schema(
+            list(arrow_schema)
+            + [pa.field("_part_id", pa.int32()),
+               pa.field("_chunk_id", pa.int64()),
+               pa.field("_pos", pa.int64())]
+        )
 
     # one task per blocks file, LARGEST FIRST: raw sizes per split vary with
     # document lengths (bench table: 5x file-size skew), and Spark schedules
@@ -169,8 +192,9 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                             f"chunk={int(chunk[i])} col={names[i]} in {row['file']}"
                         )
                     colmap[names[i]] = i
-                for _, colmap in sorted(by_chunk.items()):
+                for ckey, colmap in sorted(by_chunk.items()):
                     out = {}
+                    n_rows = 0
                     for c, ptype in cols:
                         i = colmap[c]
                         arr = Ch.decode_column_chunk(
@@ -180,15 +204,32 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         if not arr.type.equals(_STD_ARROW[ptype]):
                             arr = arr.cast(_STD_ARROW[ptype])
                         out[c] = arr
+                        n_rows = int(ns[i])
+                    tab = {c: out[c] for c in want_cols}
+                    if address:
+                        tab["_part_id"] = pa.array(
+                            np.full(n_rows, ckey >> 32, dtype=np.int32))
+                        tab["_chunk_id"] = pa.array(
+                            np.full(n_rows, ckey & 0xFFFFFFFF,
+                                    dtype=np.int64))
+                        tab["_pos"] = pa.array(
+                            np.arange(n_rows, dtype=np.int64))
                     yield pa.table(
-                        {c: out[c] for c in want_cols}, schema=arrow_schema
+                        tab, schema=arrow_schema
                     ).to_batches(max_chunksize=1 << 30)[0]
 
     decoded = files_df.mapInArrow(decode_file, schema=out_schema)
+    if tombs is not None:
+        decoded = anti_join_tombstones(decoded, tombs)
     if predicates:
         decoded = _exact_filter(decoded, predicates, all_ptypes)
-        if columns is not None:
-            decoded = decoded.select(*[c for c in want_cols if c in set(columns)])
+    keep = want_cols if columns is None else [
+        c for c in want_cols if c in set(columns)
+    ]
+    if with_row_address:
+        keep = keep + list(ADDRESS_COLS)
+    if keep != decoded.columns:
+        decoded = decoded.select(*keep)
     return decoded
 
 

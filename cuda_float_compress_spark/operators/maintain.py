@@ -235,11 +235,17 @@ def compact(
     re-encodes at the target chunk size. Parts stay independent — the job is
     a per-(part) applyInArrow with no cross-part shuffle of decoded data.
 
+    Merge-on-read tombstones (operators/deletes) are MATERIALIZED: deleted
+    rows are physically dropped (blocks cogrouped with tombstones per
+    part — addresses ship to exactly the task that decodes their chunks)
+    and the compacted table starts with an empty delete set.
+
     Returns {'chunks_before', 'chunks_after', ...}."""
     from cuda_float_compress_spark.operators.decode import (
         committed_blocks,
         table_columns,
     )
+    from cuda_float_compress_spark.operators.deletes import tombstones_df
     from cuda_float_compress_spark.operators.encode import _encode_chunk_to_rows
 
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -255,9 +261,19 @@ def compact(
         for r in blocks.filter(F.col("bloom").isNotNull())
         .select("col").distinct().collect()
     ) if "bloom" in blocks.columns else frozenset()
+    tombs = tombstones_df(spark, src_dir)
 
-    def recompact(key: tuple, tbl: pa.Table) -> pa.Table:
+    def recompact(key: tuple, tbl: pa.Table,
+                  tomb_tbl: pa.Table | None = None) -> pa.Table:
         part_id = key[0].as_py() if hasattr(key[0], 'as_py') else int(key[0])
+        if tbl.num_rows == 0:  # tombstones for a part with no blocks
+            empty = pa.Table.from_batches([], schema=_BLOCKS_ARROW)
+            for name in ("payload", "bloom"):
+                i = empty.schema.get_field_index(name)
+                empty = empty.set_column(
+                    i, name, empty.column(name).cast(pa.binary())
+                )
+            return empty
         # group incoming block rows by old chunk, decode, concat per column
         names = tbl.column("col").to_pylist()
         codecs = tbl.column("codec").to_pylist()
@@ -269,16 +285,33 @@ def compact(
         per_chunk: dict[int, dict] = {}
         for i in range(len(names)):
             per_chunk.setdefault(chunk_ids[i], {})[names[i]] = i
+        # tombstoned positions per chunk (this part's addresses only —
+        # the cogroup routed them here)
+        tomb_pos: dict[int, set] = {}
+        if tomb_tbl is not None and tomb_tbl.num_rows:
+            tc = tomb_tbl.column("_chunk_id").to_pylist()
+            tp = tomb_tbl.column("_pos").to_pylist()
+            for c_, p_ in zip(tc, tp):
+                tomb_pos.setdefault(int(c_), set()).add(int(p_))
         col_arrays: dict[str, list] = {c: [] for c in ordered}
         for cid in sorted(per_chunk):
+            del_pos = tomb_pos.get(int(cid))
+            mask = None
             for c in ordered:
                 i = per_chunk[cid][c]
-                col_arrays[c].append(
-                    C.decode_column_chunk(
-                        payloads[i].as_py(), codecs[i], params[i],
-                        int(ns[i]), int(nnulls[i]), col_ptypes[c],
-                    )
+                arr = C.decode_column_chunk(
+                    payloads[i].as_py(), codecs[i], params[i],
+                    int(ns[i]), int(nnulls[i]), col_ptypes[c],
                 )
+                if del_pos:
+                    if mask is None:
+                        import numpy as np
+
+                        m = np.ones(len(arr), dtype=bool)
+                        m[[p for p in del_pos if p < len(arr)]] = False
+                        mask = pa.array(m)
+                    arr = arr.filter(mask)
+                col_arrays[c].append(arr)
         full = pa.table(
             {c: pa.concat_arrays([a.cast(a.type) for a in col_arrays[c]])
              for c in ordered}
@@ -307,7 +340,16 @@ def compact(
             )
         return result
 
-    new_blocks = blocks.groupBy("part_id").applyInArrow(recompact, BLOCKS_SCHEMA)
+    if tombs is None:
+        new_blocks = blocks.groupBy("part_id").applyInArrow(
+            recompact, BLOCKS_SCHEMA
+        )
+    else:
+        new_blocks = (
+            blocks.groupBy("part_id")
+            .cogroup(tombs.groupBy("_part_id"))
+            .applyInArrow(recompact, BLOCKS_SCHEMA)
+        )
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
     written = spark.read.parquet(f"{dst_dir}/blocks")
     manifest = (
