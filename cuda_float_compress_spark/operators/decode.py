@@ -121,11 +121,28 @@ def committed_blocks(
 
 
 def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
-    """[(col, ptype)] in original column order — metadata-only collect."""
+    """[(col, ptype)] in original column order — metadata-only collect.
+    Under schema evolution (append runs with differing column sets) the
+    result is the UNION schema, ordered by first-seen column index; the
+    same column re-appended with a DIFFERENT ptype is refused — silently
+    picking one would decode the other run's chunks as garbage."""
     rows = (
-        blocks.select("col", "col_idx", "ptype").distinct().orderBy("col_idx").collect()
+        blocks.select("col", "col_idx", "ptype").distinct()
+        .orderBy("col_idx", "col").collect()
     )
-    return [(r["col"], r["ptype"]) for r in rows]
+    out: list[tuple[str, str]] = []
+    seen: dict[str, str] = {}
+    for r in rows:
+        prev = seen.get(r["col"])
+        if prev is None:
+            seen[r["col"]] = r["ptype"]
+            out.append((r["col"], r["ptype"]))
+        elif prev != r["ptype"]:
+            raise ValueError(
+                f"column {r['col']!r} was appended with conflicting types "
+                f"{prev!r} and {r['ptype']!r}; re-encode the offending run"
+            )
+    return out
 
 
 _TS_PTYPES = ("timestamp_us", "timestamp_ntz")
@@ -291,7 +308,15 @@ def decode_table(
     if columns is not None:
         want = set(columns) | {c for c, _, _ in (predicates or [])}
         cols = [(c, p) for c, p in cols if c in want]
-        blocks = blocks.filter(F.col("col").isin(list(want)))
+        # prune PAYLOADS, not metadata rows: a chunk written before a
+        # wanted column existed (schema evolution) must still reach its
+        # decode group so its rows come back (wanted column = nulls) —
+        # the null payload keeps the shuffle metadata-sized for unwanted
+        # columns while the `n` field carries the chunk's row count
+        blocks = blocks.withColumn(
+            "payload",
+            F.when(F.col("col").isin(list(want)), F.col("payload")),
+        )
 
     out_fields = [f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols]
     if keep_part_id:
@@ -321,6 +346,11 @@ def decode_table(
         ns = tbl.column("n").to_pylist()
         n_nulls = tbl.column("n_nulls").to_pylist()
         for i, name in enumerate(names):
+            if payloads[i] is None:
+                # projection-pruned metadata row: contributes the chunk's
+                # row count only (see the payload-nulling in decode_table)
+                n_rows = int(ns[i])
+                continue
             ptype = col_ptypes[name]
             if name in by_col:
                 # duplicate (part_id, chunk_id, col) would silently overwrite
@@ -340,7 +370,9 @@ def decode_table(
         out = {}
         if keep_part_id:
             out["part_id"] = pa.array([int(part_id)] * n_rows, type=pa.int32())
-        for c, _ in cols:
+        for c, ptype_ in cols:
+            if c not in by_col:  # column added after this chunk was written
+                by_col[c] = pa.nulls(n_rows, _STD_ARROW[ptype_])
             out[c] = by_col[c]
         if with_address:
             chunk_id = key[1].as_py() if hasattr(key[1], "as_py") else int(key[1])

@@ -176,15 +176,17 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                 payloads = tbl.column("payload")
                 keys = part.astype(np.int64) << np.int64(32) | chunk.astype(np.int64)
                 by_chunk: dict[int, dict] = {}
+                chunk_n: dict[int, int] = {}  # rows per LIVE chunk (any col)
                 for i in range(len(keys)):
-                    if names[i] not in col_ptypes:
-                        continue
                     if keep_keys is not None and int(keys[i]) not in keep_keys:
                         continue
                     if committed is not None and (
                         int(part[i]), run_ids[i]
                     ) not in committed:
                         continue  # stale partial from an uncommitted run
+                    chunk_n[int(keys[i])] = int(ns[i])
+                    if names[i] not in col_ptypes:
+                        continue
                     colmap = by_chunk.setdefault(int(keys[i]), {})
                     if names[i] in colmap:
                         raise ValueError(
@@ -192,11 +194,19 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                             f"chunk={int(chunk[i])} col={names[i]} in {row['file']}"
                         )
                     colmap[names[i]] = i
-                for ckey, colmap in sorted(by_chunk.items()):
+                # iterate LIVE chunks, not just those carrying a wanted
+                # column: a chunk written before a column was added (schema
+                # evolution) decodes that column as nulls, and its rows
+                # must survive even when NO wanted column predates it
+                for ckey in sorted(chunk_n):
+                    colmap = by_chunk.get(ckey, {})
                     out = {}
-                    n_rows = 0
+                    n_rows = chunk_n[ckey]
                     for c, ptype in cols:
-                        i = colmap[c]
+                        i = colmap.get(c)
+                        if i is None:  # column added after this chunk
+                            out[c] = pa.nulls(n_rows, _STD_ARROW[ptype])
+                            continue
                         arr = Ch.decode_column_chunk(
                             payloads[i].as_py(), codecs[i], params[i],
                             int(ns[i]), int(nnulls[i]), ptype,
@@ -204,7 +214,6 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         if not arr.type.equals(_STD_ARROW[ptype]):
                             arr = arr.cast(_STD_ARROW[ptype])
                         out[c] = arr
-                        n_rows = int(ns[i])
                     tab = {c: out[c] for c in want_cols}
                     if address:
                         tab["_part_id"] = pa.array(

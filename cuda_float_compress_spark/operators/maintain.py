@@ -263,8 +263,8 @@ def compact(
     ) if "bloom" in blocks.columns else frozenset()
     tombs = tombstones_df(spark, src_dir)
 
-    def recompact(key: tuple, tbl: pa.Table,
-                  tomb_tbl: pa.Table | None = None) -> pa.Table:
+    def _recompact(key: tuple, tbl: pa.Table,
+                   tomb_tbl: pa.Table | None) -> pa.Table:
         part_id = key[0].as_py() if hasattr(key[0], 'as_py') else int(key[0])
         if tbl.num_rows == 0:  # tombstones for a part with no blocks
             empty = pa.Table.from_batches([], schema=_BLOCKS_ARROW)
@@ -340,15 +340,20 @@ def compact(
             )
         return result
 
+    # applyInArrow validates the callable's arity: the grouped form takes
+    # (key, table), the cogrouped form (key, left, right) — wrap either way
     if tombs is None:
         new_blocks = blocks.groupBy("part_id").applyInArrow(
-            recompact, BLOCKS_SCHEMA
+            lambda key, tbl: _recompact(key, tbl, None), BLOCKS_SCHEMA
         )
     else:
         new_blocks = (
             blocks.groupBy("part_id")
             .cogroup(tombs.groupBy("_part_id"))
-            .applyInArrow(recompact, BLOCKS_SCHEMA)
+            .applyInArrow(
+                lambda key, tbl, tomb: _recompact(key, tbl, tomb),
+                BLOCKS_SCHEMA,
+            )
         )
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
     written = spark.read.parquet(f"{dst_dir}/blocks")
