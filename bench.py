@@ -427,6 +427,46 @@ BENCH_QUERIES = [
 ]
 
 
+def run_float_column_ratio() -> dict:
+    """Lossless float-column compression on REAL decimal data (the bench
+    web table has no float columns, so the ALP frontier would otherwise be
+    invisible here): encode the sf lineitem float columns + events.value
+    chunk-wise through the production selector and report ratio + codec
+    choices. Bit-exactness is pytest/oracle-gated (alp_decoded_prices);
+    this stage evidences the SIZE win."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cuda_float_compress_spark.codecs.select import select_and_encode_float
+
+    t0 = time.perf_counter()
+    raw = enc = 0
+    codecs_used: dict[str, str] = {}
+    jobs = []
+    li = pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    for name in li.column_names:
+        jobs.append((name, li[name].to_numpy(zero_copy_only=False)))
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["value"])
+    jobs.append(("events.value", ev["value"].to_numpy(zero_copy_only=False)))
+    for name, v in jobs:
+        for off in range(0, len(v), 65_536):
+            chunk = np.ascontiguousarray(v[off:off + 65_536])
+            codec, payload, _ = select_and_encode_float(chunk)
+            raw += chunk.nbytes
+            enc += len(payload)
+            codecs_used[name] = codec
+    return {
+        "raw_bytes": raw, "enc_bytes": enc,
+        "ratio": round(raw / enc, 4) if enc else 0.0,
+        "codecs": codecs_used,
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--encode-only", action="store_true")
@@ -470,6 +510,7 @@ def main() -> None:
     encode_tp_res = run_encode_direct(
         spark, web_path, runs=1, warmup=False, profile="throughput"
     )
+    float_ratio_res = run_float_column_ratio()
     decode_res = run_decode(spark, web_path, args.n_parts)
     suite_probes.append(host_probe())  # host health right after the pipeline
     suite_encode_probes.append(host_probe_encode())
@@ -654,6 +695,7 @@ def main() -> None:
         "encode": encode_res,
         "encode_direct": encode_direct_res,
         "encode_direct_throughput": encode_tp_res,
+        "float_columns": float_ratio_res,
         "decode": decode_res,
         "web_rows": BENCH_WEB_ROWS,
         "scaling": scaling,
@@ -685,6 +727,7 @@ def main() -> None:
         "encode_tp_gbps": encode_tp_res["gb_per_sec"],
         "ratio": encode_direct_res["ratio"],
         "ratio_tp": encode_tp_res["ratio"],
+        "ratio_floats": float_ratio_res["ratio"],
         "decode_gbps": decode_res["gb_per_sec"],
         "decode_direct_gbps": decode_res["direct_gb_per_sec"],
         "kernel_1core_gbps": decode_res["kernel_1core"]["gb_per_sec"],

@@ -1246,12 +1246,44 @@ def float_alprd_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     return u.view(dtype).copy()
 
 
+def float_xor_encode(v: np.ndarray) -> tuple[bytes, dict]:
+    """Gorilla-style XOR-with-previous (Facebook's time-series scheme,
+    public VLDB'15 paper) + byte-plane shuffle + zstd: successive values
+    on smooth series share sign/exponent/leading-mantissa bits, so the
+    XOR stream is mostly zero bytes that the plane shuffle groups into
+    long runs. Exact for every bit pattern (nan/inf/-0.0 included) —
+    XOR is its own inverse."""
+    itemsize = v.dtype.itemsize
+    ut = np.uint32 if itemsize == 4 else np.uint64
+    u = v.view(ut)
+    x = np.empty_like(u)
+    if len(u):
+        x[0] = u[0]
+        np.bitwise_xor(u[1:], u[:-1], out=x[1:])
+    mat = x.view(np.uint8).reshape(-1, itemsize)
+    return zstd_compress(mat.T.copy().tobytes()), {
+        "itemsize": itemsize, "dtype": str(v.dtype),
+    }
+
+
+def float_xor_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    itemsize = int(params["itemsize"])
+    dtype = np.dtype(params["dtype"])
+    ut = np.uint32 if itemsize == 4 else np.uint64
+    raw = zstd_decompress(payload, n * itemsize)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, n)
+    x = np.frombuffer(mat.T.copy().tobytes(), dtype=ut)
+    u = np.bitwise_xor.accumulate(x)  # exact prefix-xor inverse
+    return u.view(dtype).copy()
+
+
 FLOAT_CODECS = {
     "float_raw": (float_raw_encode, float_raw_decode),
     "float_byteplane": (float_byteplane_encode, float_byteplane_decode),
     "float_byteplane_lz4": (float_byteplane_lz4_encode, float_byteplane_lz4_decode),
     "float_alp": (float_alp_encode, float_alp_decode),
     "float_alprd": (float_alprd_encode, float_alprd_decode),
+    "float_xor": (float_xor_encode, float_xor_decode),
 }
 
 

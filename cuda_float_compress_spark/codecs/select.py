@@ -155,9 +155,12 @@ def select_and_encode_float(
         # work) and 2-5x smaller; the trial keeps lz4 for real doubles
         cands = ["float_alp", "float_byteplane_lz4"]
     else:
-        cands = ["float_alp", "float_alprd", "float_byteplane", "float_raw"]
+        cands = ["float_alp", "float_alprd", "float_xor",
+                 "float_byteplane", "float_raw"]
     n = len(v)
-    trial = v if n <= _FULL_TRIAL_MAX else v[:: max(1, n // _SAMPLE_VALUES)]
+    # contiguous windows, not a strided sample: float_xor's delta-like
+    # statistics inflate under striding exactly like the int predictors
+    trial = v if n <= _FULL_TRIAL_MAX else _contiguous_sample(v)
     best, best_size = cands[0], None
     if len(cands) > 1:
         best = None

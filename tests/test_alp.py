@@ -123,3 +123,26 @@ def test_alp_chunk_path_floats():
     assert codec == "float_alp"
     out = C.decode_column_chunk(payload, codec, params, n, n_nulls, "float64")
     assert out.to_pylist() == vals
+
+
+def test_float_xor_roundtrip_and_wins_on_smooth_series():
+    """Gorilla-style XOR codec: bit-exact on specials, and the selector
+    picks it (or better) on a smooth random walk where successive values
+    share high bits."""
+    rng = np.random.default_rng(18)
+    walk = np.cumsum(rng.normal(0, 1e-4, 40_000)) + 100.0
+    payload, params = core.float_xor_encode(walk)
+    _assert_bitexact(walk, payload, params, core.float_xor_decode)
+    bp, _ = core.float_byteplane_encode(walk)
+    assert len(payload) < len(bp), (len(payload), len(bp))
+    specials = np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 5e-324])
+    p2, pr2 = core.float_xor_encode(specials)
+    _assert_bitexact(specials, p2, pr2, core.float_xor_decode)
+    for n in (0, 1, 2):
+        v = np.linspace(1.5, 2.5, n)
+        p3, pr3 = core.float_xor_encode(v)
+        _assert_bitexact(v, p3, pr3, core.float_xor_decode)
+    # f32 twin
+    w32 = walk.astype(np.float32)
+    p4, pr4 = core.float_xor_encode(w32)
+    _assert_bitexact(w32, p4, pr4, core.float_xor_decode)
