@@ -57,6 +57,25 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--chunk-rows", type=int, default=32_768)
     cmp_.add_argument("--cores", type=int, default=None)
 
+    dele = sub.add_parser(
+        "delete",
+        help="merge-on-read row deletes: tombstone by predicate "
+             "(col,op,value) or by a parquet key list",
+    )
+    dele.add_argument("--out", required=True, help="encoded dir")
+    dele.add_argument(
+        "--where", action="append", default=[],
+        metavar="COL,OP,VALUE",
+        help="predicate, repeatable (op in ==,<,<=,>,>=; value parsed as "
+             "int/float when it looks like one)",
+    )
+    dele.add_argument(
+        "--keys", default=None,
+        help="parquet path of a one-column takedown key list",
+    )
+    dele.add_argument("--key-col", default="url")
+    dele.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -119,6 +138,33 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 compact(spark, args.out, args.dest, chunk_rows=args.chunk_rows)
             ))
+        elif args.cmd == "delete":
+            from cuda_float_compress_spark.operators.deletes import (
+                delete_rows,
+                delete_rows_by_keys,
+            )
+
+            if bool(args.where) == bool(args.keys):
+                ap.error("delete needs exactly one of --where / --keys")
+            if args.keys:
+                keys = spark.read.parquet(args.keys)
+                stats = delete_rows_by_keys(
+                    spark, args.out, args.key_col, keys
+                )
+            else:
+                preds = []
+                for w in args.where:
+                    col, op, value = w.split(",", 2)
+                    try:
+                        value = int(value)
+                    except ValueError:
+                        try:
+                            value = float(value)
+                        except ValueError:
+                            pass
+                    preds.append((col, op, value))
+                stats = delete_rows(spark, args.out, preds)
+            print(json.dumps(stats))
         return 0
     finally:
         if not pre_existing:  # don't tear down a session we merely joined

@@ -37,7 +37,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["delete_rows", "tombstones_df", "ADDRESS_COLS"]
+__all__ = ["delete_rows", "delete_rows_by_keys", "tombstones_df",
+           "ADDRESS_COLS"]
 
 ADDRESS_COLS = ("_part_id", "_chunk_id", "_pos")
 
@@ -97,6 +98,36 @@ def delete_rows(
         spark, out_dir, columns=pred_cols, predicates=predicates,
         with_row_address=True,
     ).select(*ADDRESS_COLS)
+    return _commit_tombstones(spark, out_dir, addr, run_id)
+
+
+def delete_rows_by_keys(
+    spark: SparkSession,
+    out_dir: str,
+    key_col: str,
+    keys: DataFrame,
+    run_id: str | None = None,
+) -> dict:
+    """Tombstone every row whose ``key_col`` appears in ``keys`` (a
+    DataFrame with that one column) — the takedown-list shape: the list
+    can be millions of rows, beyond what an IN-list predicate can carry.
+    One decode pass over the key column semi-joins the list (AQE
+    broadcasts it when small; otherwise a shuffle on the key only — row
+    payloads never move). Rows already deleted are not re-tombstoned."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    addr = (
+        decode_table_direct(spark, out_dir, columns=[key_col],
+                            with_row_address=True)
+        .join(keys.select(key_col).distinct(), key_col, "left_semi")
+        .select(*ADDRESS_COLS)
+    )
+    return _commit_tombstones(spark, out_dir, addr, run_id)
+
+
+def _commit_tombstones(spark, out_dir: str, addr: DataFrame,
+                       run_id: str) -> dict:
     path = os.path.join(out_dir, "deletes", f"run-{run_id}")
     addr.write.parquet(path)
     n = spark.read.parquet(path).count()

@@ -127,3 +127,26 @@ def test_delete_via_bloom_point_lookup(spark, tmp_path):
     assert stats["tombstones"] == 1
     got = decode_table_direct(spark, out).filter(F.col("doc_id") == 77)
     assert got.count() == 0
+
+
+def test_delete_rows_by_keys_takedown_list(spark, docs_table):
+    """Key-list deletes (the shape an IN-list predicate can't carry):
+    a takedown DataFrame of urls tombstones exactly those rows; unknown
+    keys are ignored; stacking with predicate deletes works."""
+    from cuda_float_compress_spark.operators.deletes import (
+        delete_rows_by_keys,
+    )
+
+    takedown = spark.createDataFrame(
+        [(f"doc://d/{i}",) for i in range(0, 300, 10)]
+        + [("doc://missing/404",)],
+        "url: string",
+    )
+    stats = delete_rows_by_keys(spark, docs_table, "url", takedown)
+    assert stats["tombstones"] == 30
+    got = _ids(decode_table_direct(spark, docs_table))
+    assert got == [i for i in range(300) if i % 10 != 0]
+    # stacks with a predicate delete
+    delete_rows(spark, docs_table, [("lang", "==", "de")])
+    got2 = _ids(decode_table_direct(spark, docs_table))
+    assert got2 == [i for i in range(300) if i % 10 != 0 and i % 3 != 1]

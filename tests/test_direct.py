@@ -708,6 +708,17 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     assert cli.main(["compact", "--out", out, "--dest", packed,
                      "--cores", "4"]) == 0
     assert decode_table(spark, packed).count() == 400
+    # merge-on-read delete via CLI: predicate form, then verify the count
+    assert cli.main(["delete", "--out", packed, "--where",
+                     "lang,==,en", "--cores", "4"]) == 0
+    n_en = 400 - decode_table(spark, packed).count()
+    assert n_en > 0  # generator always emits some 'en' pages
+    # key-list form: delete one url by takedown file
+    keys_path = str(tmp_path / "takedown.parquet")
+    decode_table(spark, packed).select("url").limit(1).write.parquet(keys_path)
+    assert cli.main(["delete", "--out", packed, "--keys", keys_path,
+                     "--key-col", "url", "--cores", "4"]) == 0
+    assert decode_table(spark, packed).count() == 400 - n_en - 1
 
 
 def test_float_zone_map_pruning(spark, tmp_path, scratch):
