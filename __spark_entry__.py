@@ -854,6 +854,35 @@ def _merge_on_read_delete_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _metadata_only_agg(spark, sf_dir):
+    """Aggregate WITHOUT decoding: encode documents, then answer
+    count/sum/min/max over n_chars purely from the per-chunk metadata
+    (n, n_nulls, exact int vmin/vmax, and the r6 vsum column) —
+    operators/metadata_agg. At 100 TB this reads MBs of stats instead of
+    the table. The oracle recomputes from raw rows, so a single wrong
+    chunk statistic breaks the hash; the operator itself decode-falls-back
+    when deletes/legacy layouts/overflow make metadata unsafe."""
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.metadata_agg import (
+        agg_int_column,
+    )
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["doc_id"])
+        res = agg_int_column(spark, out, "n_chars").select(
+            "n_rows", "n_nulls", "sum", "min", "max"
+        ).cache()
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1423,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pushdown_lookup": _bloom_pushdown_lookup,
         "alp_decoded_prices": _alp_decoded_prices,
         "merge_on_read_delete_agg": _merge_on_read_delete_agg,
+        "metadata_only_agg": _metadata_only_agg,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2304,6 +2334,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE lang <> 'de'
             GROUP BY lang
+        """,
+        "metadata_only_agg": """
+            SELECT count(*) AS n_rows,
+                   (count(*) - count(n_chars)) AS n_nulls,
+                   sum(n_chars)::BIGINT AS sum,
+                   min(n_chars)::BIGINT AS min,
+                   max(n_chars)::BIGINT AS max
+            FROM documents
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -57,7 +57,12 @@ def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
         from cuda_float_compress_spark.operators.maintain import repair_vacuum
 
         repair_vacuum(out_dir)
-    return spark.read.parquet(f"{out_dir}/blocks")
+    # mergeSchema: appends across engine versions mix block layouts in one
+    # dir (bloom + vsum columns added r6); the default single-footer schema
+    # sample could silently drop — or fail on — the newer columns
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/blocks"
+    )
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -54,6 +54,12 @@ BLOCKS_SCHEMA = T.StructType(
         # chunk pruning on the ENCODED table without touching payloads
         T.StructField("vmin", T.LongType(), True),
         T.StructField("vmax", T.LongType(), True),
+        # exact per-chunk value sum for int32/int64 columns (null when the
+        # sum leaves the int64 domain, for other ptypes, or in pre-r6
+        # layouts): lets count/sum/min/max aggregate from METADATA alone
+        # (operators/metadata_agg) — at 100 TB that is MBs instead of the
+        # full decode
+        T.StructField("vsum", T.LongType(), True),
         # provenance: which run wrote this block. decode/manifest only trust
         # blocks whose (part_id, run_id) is committed in lineage — a crash
         # between the blocks append and the lineage write leaves stale
@@ -83,6 +89,7 @@ _BLOCKS_ARROW = pa.schema(
         ("params", pa.string()),
         ("vmin", pa.int64()),
         ("vmax", pa.int64()),
+        ("vsum", pa.int64()),
         ("run_id", pa.string()),
         ("bloom", pa.large_binary()),
         ("payload", pa.large_binary()),
@@ -103,7 +110,7 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
             arr, ptype, overrides.get(name), profile
         )
-        vmin = vmax = None
+        vmin = vmax = vsum = None
         if ptype in ("int64", "int32", "timestamp_us", "timestamp_ntz", "date32"):
             if n > n_nulls:
                 nn = arr.drop_null() if n_nulls else arr
@@ -112,6 +119,12 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                     np_vals = np_vals.view("i8")
                 vmin = int(np_vals.min())
                 vmax = int(np_vals.max())
+                if ptype in ("int64", "int32"):
+                    # exact chunk sum (python int — no wraparound) for
+                    # metadata-only aggregation; values summing past the
+                    # int64 column domain store null (decode fallback)
+                    s = int(np_vals.sum(dtype=object)) if len(np_vals) else 0
+                    vsum = s if -(2 ** 63) <= s < 2 ** 63 else None
         elif ptype in ("float32", "float64") and n > n_nulls:
             # float zone maps: Spark-total-order int64 keys (NaN greatest,
             # -0.0 == 0.0 — chunks.float_key64). A chunk containing NaN
@@ -146,6 +159,7 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
         cols["params"].append(params_json)
         cols["vmin"].append(vmin)
         cols["vmax"].append(vmax)
+        cols["vsum"].append(vsum)
         cols["run_id"].append(run_id)
         bloom = None
         if name in bloom_cols and n > n_nulls:

@@ -1,0 +1,105 @@
+"""Metadata-only aggregation (operators/metadata_agg): count/sum/min/max
+from chunk statistics alone — no payload decode — with transparent decode
+fallback when deletes, legacy layouts, or overflowed chunk sums make the
+metadata unsafe."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cuda_float_compress_spark.operators.encode import encode_table
+from cuda_float_compress_spark.operators.metadata_agg import agg_int_column
+
+
+@pytest.fixture()
+def enc_docs(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    rows = [(i, f"doc://d/{i}", (i * 37) % 500 - 100 if i % 11 else None)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, v: long")
+    encode_table(spark, df, out, n_parts=4, resume=False,
+                 sort_keys=["doc_id"], chunk_rows=128)
+    return out, rows
+
+
+def _drop_crc_sidecars(out: str) -> None:
+    """The tests rewrite parquet files in place to simulate a pre-r6
+    layout; Hadoop's local FS keeps .crc sidecars that would then reject
+    the (legitimately different) bytes."""
+    for crc in glob.glob(os.path.join(out, "blocks", ".*.crc")):
+        os.remove(crc)
+
+
+def _expected(rows):
+    vals = [v for _, _, v in rows if v is not None]
+    return (len(rows), len(rows) - len(vals), sum(vals), min(vals), max(vals))
+
+
+def test_metadata_agg_matches_and_never_decodes(spark, enc_docs, monkeypatch):
+    out, rows = enc_docs
+    import cuda_float_compress_spark.operators.direct as direct_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("metadata path must not decode payloads")
+
+    monkeypatch.setattr(direct_mod, "decode_table_direct", _boom)
+    got = agg_int_column(spark, out, "v").collect()[0]
+    assert (got["n_rows"], got["n_nulls"], got["sum"], got["min"],
+            got["max"]) == _expected(rows)
+
+
+def test_metadata_agg_falls_back_after_delete(spark, enc_docs):
+    out, rows = enc_docs
+    from cuda_float_compress_spark.operators.deletes import delete_rows
+
+    delete_rows(spark, out, [("v", ">=", 300)])
+    kept = [(d, u, v) for d, u, v in rows if v is None or v < 300]
+    got = agg_int_column(spark, out, "v").collect()[0]
+    assert (got["n_rows"], got["n_nulls"], got["sum"], got["min"],
+            got["max"]) == _expected(kept)
+
+
+def test_metadata_agg_legacy_layout_falls_back(spark, enc_docs):
+    """Strip vsum/bloom from every blocks file (pre-r6 layout): the
+    mergeSchema read plus the missing-column check must route to the
+    decode fallback and still answer correctly."""
+    out, rows = enc_docs
+    for f in glob.glob(os.path.join(out, "blocks", "*.parquet")):
+        tbl = pq.read_table(f)
+        tbl = tbl.drop_columns(["vsum", "bloom"])
+        pq.write_table(tbl, f)
+    _drop_crc_sidecars(out)
+    got = agg_int_column(spark, out, "v").collect()[0]
+    assert (got["n_rows"], got["n_nulls"], got["sum"], got["min"],
+            got["max"]) == _expected(rows)
+
+
+def test_mixed_layout_append_keeps_new_columns(spark, enc_docs):
+    """One legacy file among new ones: mergeSchema keeps vsum visible and
+    the sum-safety check (a real-values chunk without vsum) falls back."""
+    out, rows = enc_docs
+    f = sorted(glob.glob(os.path.join(out, "blocks", "*.parquet")))[0]
+    tbl = pq.read_table(f)
+    pq.write_table(tbl.drop_columns(["vsum", "bloom"]), f)
+    _drop_crc_sidecars(out)
+    got = agg_int_column(spark, out, "v").collect()[0]
+    assert (got["n_rows"], got["n_nulls"], got["sum"], got["min"],
+            got["max"]) == _expected(rows)
+
+
+def test_overflowing_chunk_sum_stores_null():
+    from cuda_float_compress_spark.operators.encode import (
+        _encode_chunk_to_rows,
+    )
+
+    big = pa.table({"x": pa.array([2 ** 62, 2 ** 62, 2 ** 62, 2 ** 62],
+                                  pa.int64())})
+    rb = _encode_chunk_to_rows(big, 0, 0, {}, None)
+    assert rb.column(rb.schema.get_field_index("vsum"))[0].as_py() is None
+    ok = pa.table({"x": pa.array([5, -3, None], pa.int64())})
+    rb2 = _encode_chunk_to_rows(ok, 0, 0, {}, None)
+    assert rb2.column(rb2.schema.get_field_index("vsum"))[0].as_py() == 2
