@@ -873,10 +873,19 @@ def _metadata_only_agg(spark, sf_dir):
             "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
         )
         encode_table(spark, docs, out, n_parts=8, resume=False,
-                     sort_keys=["doc_id"])
-        res = agg_int_column(spark, out, "n_chars").select(
-            "n_rows", "n_nulls", "sum", "min", "max"
-        ).cache()
+                     sort_keys=["n_chars"])
+        whole = agg_int_column(spark, out, "n_chars")
+        # predicate-restricted: interior chunks COVERED from metadata,
+        # only the boundary chunk decodes (table is n_chars-sorted)
+        ranged = agg_int_column(
+            spark, out, "n_chars", predicates=[("n_chars", ">=", 250)]
+        )
+        res = (
+            whole.withColumn("scope", F.lit("all"))
+            .unionByName(ranged.withColumn("scope", F.lit("ge_250")))
+            .select("scope", "n_rows", "n_nulls", "sum", "min", "max")
+            .cache()
+        )
         res.count()
         return res
     finally:
@@ -2336,12 +2345,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "metadata_only_agg": """
-            SELECT count(*) AS n_rows,
+            SELECT 'all' AS scope, count(*) AS n_rows,
                    (count(*) - count(n_chars)) AS n_nulls,
                    sum(n_chars)::BIGINT AS sum,
                    min(n_chars)::BIGINT AS min,
                    max(n_chars)::BIGINT AS max
             FROM documents
+            UNION ALL
+            SELECT 'ge_250' AS scope, count(*) AS n_rows,
+                   (count(*) - count(n_chars)) AS n_nulls,
+                   sum(n_chars)::BIGINT AS sum,
+                   min(n_chars)::BIGINT AS min,
+                   max(n_chars)::BIGINT AS max
+            FROM documents WHERE n_chars >= 250
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -248,6 +248,67 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
     return keys
 
 
+_EXACT_STAT_PTYPES = (
+    "int64", "int32", "timestamp_us", "timestamp_ntz", "date32",
+    "float32", "float64",
+)
+
+
+def covered_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
+    """(part_id, chunk_id) keys where EVERY row provably satisfies ALL
+    predicates, from metadata alone — the complement of pruning: these
+    chunks can contribute their pre-computed statistics (n, vsum, ...)
+    to an aggregate without any payload read; only the boundary chunks
+    (qualifying minus covered) need decoding.
+
+    Sound only where chunk stats are EXACT per value: int family,
+    timestamps/dates (micros/days), and floats (float_key64 is an order
+    isomorphism, so key comparisons mirror value comparisons). String
+    prefixes are NOT exact — string predicates yield no covered chunks.
+    A chunk with nulls in a predicate column is never covered (nulls
+    fail every predicate)."""
+    keys = blocks.select("part_id", "chunk_id").distinct()
+    for col, op, value in predicates:
+        stats = blocks.filter(F.col("col") == col).select(
+            "part_id", "chunk_id", "vmin", "vmax", "n_nulls", "ptype"
+        )
+        first = stats.select("ptype").first()
+        ptype = first["ptype"] if first else None
+        if ptype not in _EXACT_STAT_PTYPES:
+            return keys.limit(0)
+        v = None if op == "in" else _predicate_value(value, ptype)
+        base = (
+            F.col("vmin").isNotNull() & F.col("vmax").isNotNull()
+            & (F.col("n_nulls") == 0)
+        )
+        if op == ">=":
+            cond = F.col("vmin") >= v
+        elif op == ">":
+            cond = F.col("vmin") > v
+        elif op == "<=":
+            cond = F.col("vmax") <= v
+        elif op == "<":
+            cond = F.col("vmax") < v
+        elif op in ("==", "="):
+            cond = (F.col("vmin") == v) & (F.col("vmax") == v)
+        elif op == "in":
+            anyeq = F.lit(False)
+            for member in value:
+                mv = _predicate_value(member, ptype)
+                anyeq = anyeq | (
+                    (F.col("vmin") == mv) & (F.col("vmax") == mv)
+                )
+            cond = anyeq
+        else:
+            raise ValueError(f"unsupported predicate op: {op}")
+        keys = keys.join(
+            stats.filter(base & cond).select("part_id", "chunk_id"),
+            ["part_id", "chunk_id"],
+            "left_semi",
+        )
+    return keys
+
+
 def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
     import datetime as _dt
 

@@ -62,7 +62,8 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         columns: list[str] | None = None,
                         predicates: list[tuple] | None = None,
                         with_row_address: bool = False,
-                        apply_deletes: bool = True):
+                        apply_deletes: bool = True,
+                        chunk_keys: set | None = None):
     """Shuffle-free decode: every encode task wrote whole chunks to its own
     blocks file, so chunks never span files — each decode task reads one
     blocks file with pyarrow and reconstructs its chunks locally. The
@@ -72,7 +73,10 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     ``apply_deletes``: anti-join committed tombstones (operators/deletes) —
     on by default so merge-on-read deletes are never silently resurrected.
     ``with_row_address``: emit the stable (_part_id, _chunk_id, _pos)
-    address columns (delete_rows uses this to compute tombstones)."""
+    address columns (delete_rows uses this to compute tombstones).
+    ``chunk_keys``: restrict the decode to these (part_id << 32 | chunk_id)
+    keys (metadata_agg decodes only the BOUNDARY chunks this way);
+    composes with predicate pruning as an intersection."""
     import numpy as np
 
     from cuda_float_compress_spark.operators import chunks as Ch
@@ -113,6 +117,11 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         # entry per surviving chunk) and ships to tasks via the closure
         keys = qualifying_chunks(blocks, predicates).collect()
         keep_keys = {(r["part_id"] << 32) | r["chunk_id"] for r in keys}
+    if chunk_keys is not None:
+        keep_keys = (
+            set(chunk_keys) if keep_keys is None
+            else keep_keys & set(chunk_keys)
+        )
     if columns is not None:
         want = set(columns) | {c for c, _, _ in (predicates or [])}
         cols = [(c, p) for c, p in cols if c in want]

@@ -30,16 +30,36 @@ __all__ = ["agg_int_column"]
 _INT_PTYPES = ("int64", "int32")
 
 
-def agg_int_column(spark: SparkSession, out_dir: str, col: str) -> DataFrame:
+_SCHEMA = "n_rows: long, n_nulls: long, sum: long, min: long, max: long"
+
+
+def agg_int_column(
+    spark: SparkSession,
+    out_dir: str,
+    col: str,
+    predicates: list[tuple] | None = None,
+) -> DataFrame:
     """One-row DataFrame ``(n_rows, n_nulls, sum, min, max)`` for an
     int-family column of an encoded table. Metadata-only when safe (see
-    module docstring); transparently decodes otherwise."""
-    from cuda_float_compress_spark.operators.decode import committed_blocks
+    module docstring); transparently decodes otherwise.
+
+    With ``predicates``, chunks split three ways from metadata alone:
+    pruned (no row can match — skipped), COVERED (every row provably
+    matches — statistics contribute without any payload read), and
+    boundary (decoded + exactly filtered). On a sorted table the boundary
+    is O(1) chunks per predicate edge, so a range-restricted sum still
+    reads metadata + two chunks instead of the table."""
+    from cuda_float_compress_spark.operators.decode import (
+        committed_blocks,
+        covered_chunks,
+        qualifying_chunks,
+    )
     from cuda_float_compress_spark.operators.deletes import tombstones_df
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
 
     blocks = committed_blocks(spark, out_dir)
     stats = blocks.filter(F.col("col") == col).select(
-        "ptype", "n", "n_nulls", "vmin", "vmax",
+        "part_id", "chunk_id", "ptype", "n", "n_nulls", "vmin", "vmax",
         *(["vsum"] if "vsum" in blocks.columns else []),
     )
     first = stats.limit(1).collect()
@@ -51,37 +71,71 @@ def agg_int_column(spark: SparkSession, out_dir: str, col: str) -> DataFrame:
         and "vsum" in blocks.columns
         and tombstones_df(spark, out_dir) is None
     )
-    if meta_ok:
-        # a chunk with real values but no vsum (overflowed / legacy run)
-        # poisons the metadata sum — detect in the same aggregate pass
-        row = stats.agg(
-            F.sum("n").alias("n_rows"),
-            F.sum("n_nulls").alias("n_nulls"),
-            F.sum("vsum").alias("sum"),
-            F.min("vmin").alias("min"),
-            F.max("vmax").alias("max"),
-            F.sum(
-                F.when(
-                    F.col("vsum").isNull() & (F.col("n") > F.col("n_nulls")),
-                    1,
-                ).otherwise(0)
-            ).alias("_missing_sums"),
-        ).collect()[0]
-        if row["_missing_sums"] == 0:
-            return spark.createDataFrame(
-                [(row["n_rows"], row["n_nulls"], row["sum"],
-                  row["min"], row["max"])],
-                "n_rows: long, n_nulls: long, sum: long, min: long, max: long",
-            )
-    # fallback: distributed decode-aggregate (deletes applied, any ptype
-    # the decode supports — here still int-family by contract)
-    from cuda_float_compress_spark.operators.direct import decode_table_direct
 
-    dec = decode_table_direct(spark, out_dir, columns=[col])
-    return dec.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
-        F.sum(col).alias("sum"),
-        F.min(col).alias("min"),
-        F.max(col).alias("max"),
+    def _decode_agg(chunk_keys=None):
+        dec = decode_table_direct(
+            spark, out_dir, columns=[col], predicates=predicates,
+            chunk_keys=chunk_keys,
+        )
+        return dec.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.sum(col).alias("sum"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+        )
+
+    if not meta_ok:
+        return _decode_agg()
+
+    if predicates:
+        cov_df = covered_chunks(blocks, predicates)
+        # boundary = qualifying minus covered: small by design (O(1)
+        # chunks per predicate edge on a sorted table), so collecting its
+        # keys for the chunk-restricted decode is metadata-scale. The
+        # covered set can be LARGE (most of the table) — it stays a
+        # DataFrame and restricts the stats aggregate via a semi-join.
+        boundary = {
+            (r["part_id"] << 32) | r["chunk_id"]
+            for r in qualifying_chunks(blocks, predicates)
+            .join(cov_df, ["part_id", "chunk_id"], "left_anti")
+            .collect()
+        }
+        stats = stats.join(cov_df, ["part_id", "chunk_id"], "left_semi")
+    else:
+        boundary = None
+
+    row = stats.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.sum("vsum").alias("sum"),
+        F.min("vmin").alias("min"),
+        F.max("vmax").alias("max"),
+        F.sum(
+            F.when(
+                F.col("vsum").isNull() & (F.col("n") > F.col("n_nulls")),
+                1,
+            ).otherwise(0)
+        ).alias("_missing_sums"),
+    ).collect()[0]
+    if row["_missing_sums"] != 0:
+        # an overflowed / legacy-run chunk poisons the metadata sum
+        return _decode_agg()
+    parts = [(row["n_rows"] or 0, row["n_nulls"] or 0, row["sum"],
+              row["min"], row["max"])]
+    if boundary:
+        b = _decode_agg(chunk_keys=boundary).collect()[0]
+        parts.append((b["n_rows"], b["n_nulls"], b["sum"],
+                      b["min"], b["max"]))
+    n_rows = sum(p[0] for p in parts)
+    n_nulls = sum(p[1] for p in parts)
+    sums = [p[2] for p in parts if p[2] is not None]
+    mins = [p[3] for p in parts if p[3] is not None]
+    maxs = [p[4] for p in parts if p[4] is not None]
+    return spark.createDataFrame(
+        [(n_rows, n_nulls,
+          sum(sums) if sums else None,
+          min(mins) if mins else None,
+          max(maxs) if maxs else None)],
+        _SCHEMA,
     )

@@ -103,3 +103,70 @@ def test_overflowing_chunk_sum_stores_null():
     ok = pa.table({"x": pa.array([5, -3, None], pa.int64())})
     rb2 = _encode_chunk_to_rows(ok, 0, 0, {}, None)
     assert rb2.column(rb2.schema.get_field_index("vsum"))[0].as_py() == 2
+
+
+def test_predicate_agg_covered_plus_boundary(spark, tmp_path, monkeypatch):
+    """Range-restricted aggregate on a sorted table: interior chunks are
+    COVERED (metadata contributes their stats), only the two edge chunks
+    decode — proven by counting decode invocations — and the combined
+    answer is exact."""
+    out = str(tmp_path / "enc_sorted")
+    rows = [(i, f"doc://d/{i}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, v: long")
+    encode_table(spark, df, out, n_parts=1, resume=False,
+                 sort_keys=["v"], chunk_rows=100)
+
+    import cuda_float_compress_spark.operators.direct as direct_mod
+    calls = []
+    real = direct_mod.decode_table_direct
+
+    def spy(*a, **k):
+        calls.append(k.get("chunk_keys"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(direct_mod, "decode_table_direct", spy)
+    got = agg_int_column(
+        spark, out, "v", predicates=[("v", ">=", 150), ("v", "<", 1850)]
+    ).collect()[0]
+    vals = [v for _, _, v in rows if 150 <= v < 1850]
+    assert (got["n_rows"], got["n_nulls"], got["sum"], got["min"],
+            got["max"]) == (len(vals), 0, sum(vals), 150, 1849)
+    # exactly one decode call, restricted to the two boundary chunks
+    assert len(calls) == 1 and calls[0] is not None
+    assert len(calls[0]) == 2, calls[0]
+
+
+def test_predicate_agg_on_other_column(spark, tmp_path):
+    """Predicate column != aggregate column: coverage comes from the
+    predicate column's stats, sums from the aggregate column's."""
+    out = str(tmp_path / "enc_two")
+    rows = [(i, f"doc://d/{i}", i, (i * 13) % 777) for i in range(1500)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, url: string, t: long, v: long"
+    )
+    encode_table(spark, df, out, n_parts=2, resume=False,
+                 sort_keys=["t"], chunk_rows=128)
+    got = agg_int_column(
+        spark, out, "v", predicates=[("t", ">=", 400)]
+    ).collect()[0]
+    vals = [v for _, _, t, v in rows if t >= 400]
+    assert (got["n_rows"], got["sum"], got["min"], got["max"]) == (
+        len(vals), sum(vals), min(vals), max(vals)
+    )
+
+
+def test_predicate_agg_string_predicate_still_exact(spark, tmp_path):
+    """String predicates yield no covered chunks (prefix stats are not
+    exact) — everything routes through the decode path, still correct."""
+    out = str(tmp_path / "enc_str")
+    rows = [(i, f"doc://d/{i}", ["en", "de"][i % 2], i) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, url: string, lang: string, v: long"
+    )
+    encode_table(spark, df, out, n_parts=2, resume=False,
+                 sort_keys=["doc_id"], chunk_rows=64)
+    got = agg_int_column(
+        spark, out, "v", predicates=[("lang", "==", "de")]
+    ).collect()[0]
+    vals = [v for _, _, lg, v in rows if lg == "de"]
+    assert (got["n_rows"], got["sum"]) == (len(vals), sum(vals))
