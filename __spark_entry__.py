@@ -892,6 +892,38 @@ def _metadata_only_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _pushdown_decode_agg_or(spark, sf_dir):
+    """OR-of-conjunctions pushdown through the ENCODED table: a
+    low-OR-high range disjunction over an n_chars-sorted encode prunes
+    every MIDDLE chunk (the qualifying union of the two conjunctions),
+    then the exact OR filter applies to decoded rows. Oracle recomputes
+    with a SQL OR from the raw table."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["n_chars"])
+        dec = decode_table_direct(
+            spark, out, columns=["lang", "n_chars"],
+            any_of=[[("n_chars", "<=", 100)], [("n_chars", ">=", 450)]],
+        )
+        res = (
+            dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _pushdown_decode_agg_str(spark, sf_dir):
     """String-predicate pushdown through the ENCODED table: encode documents
     SORTED BY lang (tight per-chunk string zone maps — 7-byte prefix
@@ -1462,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alp_decoded_prices": _alp_decoded_prices,
         "merge_on_read_delete_agg": _merge_on_read_delete_agg,
         "metadata_only_agg": _metadata_only_agg,
+        "pushdown_decode_agg_or": _pushdown_decode_agg_or,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
         "pushdown_decode_agg_in": _pushdown_decode_agg_in,
         "iceberg_read_agg": _iceberg_read_agg,
@@ -2358,6 +2391,12 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars)::BIGINT AS min,
                    max(n_chars)::BIGINT AS max
             FROM documents WHERE n_chars >= 250
+        """,
+        "pushdown_decode_agg_or": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE n_chars <= 100 OR n_chars >= 450
+            GROUP BY lang
         """,
         "pushdown_decode_agg_str": """
             SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars

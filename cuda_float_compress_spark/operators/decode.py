@@ -309,7 +309,9 @@ def covered_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
     return keys
 
 
-def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
+def _exact_condition(predicates: list[tuple], ptypes: dict):
+    """AND-of-predicates as one boolean Column (the row-exact twin of the
+    zone-map prune)."""
     import datetime as _dt
 
     def conv(col, value):
@@ -325,18 +327,23 @@ def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataF
             return F.col(col), value
         return F.col(col), value
 
+    cond = F.lit(True)
     for col, op, value in predicates:
         if op == "in":
             pairs = [conv(col, member) for member in value]
             c = pairs[0][0] if pairs else F.col(col)
-            df = df.filter(c.isin([v for _, v in pairs]))
+            cond = cond & c.isin([v for _, v in pairs])
             continue
         c, value = conv(col, value)
-        df = df.filter(
+        cond = cond & (
             {"<": c < value, "<=": c <= value, ">": c > value,
              ">=": c >= value, "==": c == value, "=": c == value}[op]
         )
-    return df
+    return cond
+
+
+def _exact_filter(df: DataFrame, predicates: list[tuple], ptypes: dict) -> DataFrame:
+    return df.filter(_exact_condition(predicates, ptypes))
 
 
 def decode_table(

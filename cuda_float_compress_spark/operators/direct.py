@@ -63,7 +63,8 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         predicates: list[tuple] | None = None,
                         with_row_address: bool = False,
                         apply_deletes: bool = True,
-                        chunk_keys: set | None = None):
+                        chunk_keys: set | None = None,
+                        any_of: list[list[tuple]] | None = None):
     """Shuffle-free decode: every encode task wrote whole chunks to its own
     blocks file, so chunks never span files — each decode task reads one
     blocks file with pyarrow and reconstructs its chunks locally. The
@@ -76,7 +77,11 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     address columns (delete_rows uses this to compute tombstones).
     ``chunk_keys``: restrict the decode to these (part_id << 32 | chunk_id)
     keys (metadata_agg decodes only the BOUNDARY chunks this way);
-    composes with predicate pruning as an intersection."""
+    composes with predicate pruning as an intersection.
+    ``any_of``: a DISJUNCTION of conjunctions — [[...], [...]] means
+    (conj1 OR conj2). Chunk pruning is the UNION of each conjunction's
+    qualifying set; the exact row filter is the matching OR. Composes
+    with ``predicates`` as a further AND."""
     import numpy as np
 
     from cuda_float_compress_spark.operators import chunks as Ch
@@ -117,13 +122,25 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         # entry per surviving chunk) and ships to tasks via the closure
         keys = qualifying_chunks(blocks, predicates).collect()
         keep_keys = {(r["part_id"] << 32) | r["chunk_id"] for r in keys}
+    if any_of:
+        union_keys: set[int] = set()
+        for conj in any_of:
+            union_keys |= {
+                (r["part_id"] << 32) | r["chunk_id"]
+                for r in qualifying_chunks(blocks, conj).collect()
+            }
+        keep_keys = (
+            union_keys if keep_keys is None else keep_keys & union_keys
+        )
     if chunk_keys is not None:
         keep_keys = (
             set(chunk_keys) if keep_keys is None
             else keep_keys & set(chunk_keys)
         )
     if columns is not None:
-        want = set(columns) | {c for c, _, _ in (predicates or [])}
+        want = set(columns) | {c for c, _, _ in (predicates or [])} | {
+            c for conj in (any_of or []) for c, _, _ in conj
+        }
         cols = [(c, p) for c, p in cols if c in want]
     col_ptypes = dict(cols)
     want_cols = [c for c, _ in cols]
@@ -241,6 +258,15 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         decoded = anti_join_tombstones(decoded, tombs)
     if predicates:
         decoded = _exact_filter(decoded, predicates, all_ptypes)
+    if any_of:
+        from cuda_float_compress_spark.operators.decode import (
+            _exact_condition,
+        )
+
+        disj = F.lit(False)
+        for conj in any_of:
+            disj = disj | _exact_condition(conj, all_ptypes)
+        decoded = decoded.filter(disj)
     keep = want_cols if columns is None else [
         c for c in want_cols if c in set(columns)
     ]

@@ -777,3 +777,48 @@ def test_float_zone_map_pruning(spark, tmp_path, scratch):
     with _pytest.raises(ValueError, match="NaN"):
         decode_table(spark, scratch,
                      predicates=[("score", "==", float("nan"))]).count()
+
+
+def test_any_of_disjunction_pushdown(spark, tmp_path):
+    """OR-of-conjunctions pushdown: chunk pruning is the UNION of each
+    conjunction's qualifying set (middle chunks of a sorted table are
+    skipped for a low-OR-high range disjunction) and the exact row filter
+    is the matching OR; composes with AND predicates."""
+    from cuda_float_compress_spark.operators.decode import (
+        committed_blocks,
+        qualifying_chunks,
+    )
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = str(tmp_path / "enc_or")
+    rows = [(i, f"doc://d/{i}", i, ["en", "de"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, url: string, v: long, lang: string"
+    )
+    encode_table(spark, df, out, n_parts=1, resume=False,
+                 sort_keys=["v"], chunk_rows=100)
+    blocks = committed_blocks(spark, out)
+    total = blocks.select("part_id", "chunk_id").distinct().count()
+    lo = qualifying_chunks(blocks, [("v", "<=", 50)]).count()
+    hi = qualifying_chunks(blocks, [("v", ">=", 1950)]).count()
+    assert lo + hi < total  # the union genuinely prunes the middle
+
+    got = sorted(
+        r["doc_id"]
+        for r in decode_table_direct(
+            spark, out, columns=["doc_id"],
+            any_of=[[("v", "<=", 50)], [("v", ">=", 1950)]],
+        ).collect()
+    )
+    assert got == list(range(0, 51)) + list(range(1950, 2000))
+    # AND-composes with predicates
+    got2 = sorted(
+        r["doc_id"]
+        for r in decode_table_direct(
+            spark, out, columns=["doc_id"],
+            predicates=[("lang", "==", "de")],
+            any_of=[[("v", "<=", 50)], [("v", ">=", 1950)]],
+        ).collect()
+    )
+    assert got2 == [i for i in got if i % 2 == 1]
