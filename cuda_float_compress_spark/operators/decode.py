@@ -355,6 +355,7 @@ def decode_table(
     as_of: float | None = None,
     parts: list[int] | None = None,
     apply_deletes: bool = True,
+    any_of: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
@@ -364,7 +365,10 @@ def decode_table(
     (see committed_blocks). ``parts`` restricts the decode to a part-id
     subset (incremental consumers: the part_id is the unit of progress).
     ``apply_deletes``: anti-join committed tombstones (operators/deletes) —
-    on by default; both decode paths agree on merge-on-read semantics."""
+    on by default; both decode paths agree on merge-on-read semantics.
+    ``any_of``: OR-of-conjunctions — chunk pruning via the UNION of each
+    conjunction's qualifying set, exact OR filter after decode (parity
+    with decode_table_direct)."""
     from cuda_float_compress_spark.operators.deletes import (
         anti_join_tombstones,
         tombstones_df,
@@ -378,8 +382,16 @@ def decode_table(
     if predicates:
         keys = qualifying_chunks(blocks, predicates)
         blocks = blocks.join(keys, ["part_id", "chunk_id"], "left_semi")
+    if any_of:
+        union = None
+        for conj in any_of:
+            k = qualifying_chunks(blocks, conj)
+            union = k if union is None else union.unionByName(k).distinct()
+        blocks = blocks.join(union, ["part_id", "chunk_id"], "left_semi")
     if columns is not None:
-        want = set(columns) | {c for c, _, _ in (predicates or [])}
+        want = set(columns) | {c for c, _, _ in (predicates or [])} | {
+            c for conj in (any_of or []) for c, _, _ in conj
+        }
         cols = [(c, p) for c, p in cols if c in want]
         # prune PAYLOADS, not metadata rows: a chunk written before a
         # wanted column existed (schema evolution) must still reach its
@@ -465,6 +477,11 @@ def decode_table(
         decoded = decoded.select(*keep)
     if predicates:
         decoded = _exact_filter(decoded, predicates, dict(cols))
-        if columns is not None:
-            decoded = decoded.select(*[c for c, _ in cols if c in set(columns)])
+    if any_of:
+        disj = F.lit(False)
+        for conj in any_of:
+            disj = disj | _exact_condition(conj, dict(cols))
+        decoded = decoded.filter(disj)
+    if (predicates or any_of) and columns is not None:
+        decoded = decoded.select(*[c for c, _ in cols if c in set(columns)])
     return decoded

@@ -822,3 +822,23 @@ def test_any_of_disjunction_pushdown(spark, tmp_path):
         ).collect()
     )
     assert got2 == [i for i in got if i % 2 == 1]
+
+
+def test_any_of_shuffle_path_parity(spark, tmp_path):
+    """decode_table (shuffle path) honors the same any_of semantics as
+    the direct path."""
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = str(tmp_path / "enc_or2")
+    rows = [(i, f"doc://d/{i}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, v: long")
+    encode_table(spark, df, out, n_parts=2, resume=False,
+                 sort_keys=["v"], chunk_rows=100)
+    got = sorted(
+        r["doc_id"]
+        for r in decode_table(
+            spark, out, columns=["doc_id"],
+            any_of=[[("v", "<", 30)], [("v", ">=", 970)]],
+        ).collect()
+    )
+    assert got == list(range(0, 30)) + list(range(970, 1000))
