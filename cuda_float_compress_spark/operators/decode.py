@@ -83,7 +83,8 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def committed_blocks(
-    spark: SparkSession, out_dir: str, as_of: float | None = None
+    spark: SparkSession, out_dir: str, as_of: float | None = None,
+    since: float | None = None,
 ) -> DataFrame:
     """Blocks whose (part_id, run_id) is committed ('done') in lineage.
     Stale partials from a crashed run — blocks appended, lineage never
@@ -93,7 +94,13 @@ def committed_blocks(
     ``as_of`` (epoch seconds): TIME TRAVEL for the append-only table — trust
     only runs committed at or before that instant, reproducing the table
     exactly as a reader at that time saw it (Iceberg-snapshot semantics on
-    the lineage metadata)."""
+    the lineage metadata).
+
+    ``since`` (epoch seconds, exclusive): the INCREMENTAL complement —
+    only runs committed strictly after that instant. A consumer that
+    remembers the last lineage timestamp it processed reads exactly the
+    appended-since-then slice (CDC-style over the append-only table);
+    ``since=t1, as_of=t2`` brackets a window."""
     blocks = blocks_of(spark, out_dir)
     try:
         lin = spark.read.parquet(f"{out_dir}/lineage").filter(
@@ -101,6 +108,8 @@ def committed_blocks(
         )
         if as_of is not None:
             lin = lin.filter(F.col("finished_at") <= float(as_of))
+        if since is not None:
+            lin = lin.filter(F.col("finished_at") > float(since))
         lin = lin.select("part_id", "run_id").distinct()
         # a part committed by MORE THAN ONE run means two encodes were
         # appended to the same dir (both resume=False) — decoding would
@@ -356,6 +365,7 @@ def decode_table(
     parts: list[int] | None = None,
     apply_deletes: bool = True,
     any_of: list[list[tuple]] | None = None,
+    since: float | None = None,
 ) -> DataFrame:
     """Decode the encoded table. ``predicates`` — [(col, op, literal)] with op
     in <, <=, ==, >=, > — prune whole chunks via zone-map stats BEFORE any
@@ -368,14 +378,16 @@ def decode_table(
     on by default; both decode paths agree on merge-on-read semantics.
     ``any_of``: OR-of-conjunctions — chunk pruning via the UNION of each
     conjunction's qualifying set, exact OR filter after decode (parity
-    with decode_table_direct)."""
+    with decode_table_direct).
+    ``since`` (exclusive): decode only runs committed after that instant —
+    the incremental-consumer read (see committed_blocks)."""
     from cuda_float_compress_spark.operators.deletes import (
         anti_join_tombstones,
         tombstones_df,
     )
 
     tombs = tombstones_df(spark, out_dir) if apply_deletes else None
-    blocks = committed_blocks(spark, out_dir, as_of=as_of)
+    blocks = committed_blocks(spark, out_dir, as_of=as_of, since=since)
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     cols = table_columns(blocks)

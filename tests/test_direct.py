@@ -842,3 +842,33 @@ def test_any_of_shuffle_path_parity(spark, tmp_path):
         ).collect()
     )
     assert got == list(range(0, 30)) + list(range(970, 1000))
+
+
+def test_incremental_read_since(spark, tmp_path):
+    """CDC-style incremental consumption: decode_table(since=t) returns
+    only runs committed after t — a consumer that remembers the last
+    lineage timestamp reads exactly the appended slice; since+as_of
+    brackets one epoch."""
+    from cuda_float_compress_spark.operators.decode import snapshots
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "inc_src")
+    out = str(tmp_path / "inc_out")
+    generate_webpages_df(spark, 600, partitions=3).write.parquet(src)
+    encode_stream(spark, src, out, n_parts=2, max_files_per_trigger=1)
+    snaps = snapshots(spark, out).collect()
+    assert len(snaps) >= 2
+    first = snaps[0]
+    # everything after the first commit == total minus the first epoch
+    later = decode_table(spark, out, since=first["committed_at"])
+    assert later.count() == 600 - first["n_rows"]
+    # bracketing one middle epoch returns exactly its rows
+    second = snaps[1]
+    window = decode_table(
+        spark, out, since=first["committed_at"],
+        as_of=second["committed_at"],
+    )
+    assert window.count() == second["n_rows"]
+    # disjointness: the incremental slice never overlaps the first epoch
+    early = decode_table(spark, out, as_of=first["committed_at"])
+    assert early.join(later, "url", "left_semi").count() == 0
