@@ -257,6 +257,61 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
     return keys
 
 
+def qualifying_parts(
+    spark: SparkSession, out_dir: str, predicates: list[tuple]
+) -> list[int] | None:
+    """Part ids whose MANIFEST rollup stats (per-part min vmin / max vmax,
+    written by build_manifest) might satisfy all predicates — level 1 of
+    two-level pruning: whole parts drop before any CHUNK metadata is
+    scanned (at 100 TB the chunk metadata is itself a job). Returns None
+    when the manifest predates the rollup columns (no part pruning;
+    chunk-level pruning still applies). Conservative by construction:
+    null stats keep the part, stale extra manifest rows only WIDEN ranges,
+    and Bloom filters don't roll up (equality probes prune at chunk
+    level only)."""
+    try:
+        man = spark.read.option("mergeSchema", "true").parquet(
+            f"{out_dir}/manifest"
+        )
+    except Exception:
+        return None
+    if "vmin" not in man.columns:
+        return None
+    keys = man.select("part_id").distinct()
+    for col, op, value in predicates:
+        stats = man.filter(F.col("col") == col).select(
+            "part_id", "vmin", "vmax", "ptype"
+        )
+        first = stats.limit(1).collect()
+        if not first:
+            continue  # column unknown at part level (evolution) — keep all
+        ptype = first[0]["ptype"]
+        v = None if op == "in" else _predicate_value(value, ptype)
+        if op in (">=", ">"):
+            keep = F.col("vmax").isNull() | (F.col("vmax") >= v)
+        elif op in ("<=", "<"):
+            keep = F.col("vmin").isNull() | (F.col("vmin") <= v)
+        elif op in ("==", "="):
+            keep = F.col("vmin").isNull() | (
+                (F.col("vmin") <= v) & (F.col("vmax") >= v)
+            )
+        elif op == "in":
+            any_hit = F.lit(False)
+            for member in value:
+                mv = _predicate_value(member, ptype)
+                any_hit = any_hit | (
+                    (F.col("vmin") <= mv) & (F.col("vmax") >= mv)
+                )
+            keep = F.col("vmin").isNull() | any_hit
+        else:
+            raise ValueError(f"unsupported predicate op: {op}")
+        keys = keys.join(
+            stats.filter(keep).select("part_id").distinct(),
+            "part_id", "left_semi",
+        )
+    return [r["part_id"] for r in keys.collect()]
+
+
 _EXACT_STAT_PTYPES = (
     "int64", "int32", "timestamp_us", "timestamp_ntz", "date32",
     "float32", "float64",
@@ -392,6 +447,11 @@ def decode_table(
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
     cols = table_columns(blocks)
     if predicates:
+        # level 1: whole-part pruning from the manifest rollups
+        keep_parts = qualifying_parts(spark, out_dir, predicates)
+        if keep_parts is not None:
+            blocks = blocks.filter(F.col("part_id").isin(keep_parts))
+        # level 2: chunk pruning from block metadata
         keys = qualifying_chunks(blocks, predicates)
         blocks = blocks.join(keys, ["part_id", "chunk_id"], "left_semi")
     if any_of:

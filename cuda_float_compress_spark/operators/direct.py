@@ -118,9 +118,20 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         committed = None
     keep_keys: set[int] | None = None
     if predicates:
-        # zone-map pruning, metadata-only; key set is manifest-scale (one
-        # entry per surviving chunk) and ships to tasks via the closure
-        keys = qualifying_chunks(blocks, predicates).collect()
+        from cuda_float_compress_spark.operators.decode import (
+            qualifying_parts,
+        )
+
+        # level 1: whole-part pruning from the manifest rollups (the chunk
+        # metadata scan below shrinks to the surviving parts)
+        keep_parts = qualifying_parts(spark, out_dir, predicates)
+        pruned = (
+            blocks.filter(F.col("part_id").isin(keep_parts))
+            if keep_parts is not None else blocks
+        )
+        # level 2: chunk-level zone maps / Bloom; key set is manifest-scale
+        # (one entry per surviving chunk) and ships to tasks via the closure
+        keys = qualifying_chunks(pruned, predicates).collect()
         keep_keys = {(r["part_id"] << 32) | r["chunk_id"] for r in keys}
     if any_of:
         union_keys: set[int] = set()
@@ -442,18 +453,11 @@ def encode_table_direct(
             written = spark.read.parquet(f"{out_dir}/blocks").filter(
                 F.col("run_id") == run_id
             )
-            manifest = (
-                written.groupBy("part_id", "col", "col_idx", "ptype")
-                .agg(
-                    F.count("*").alias("n_chunks"),
-                    F.sum("n").alias("n_values"),
-                    F.sum("n_nulls").alias("n_nulls"),
-                    F.sum("raw_bytes").alias("raw_bytes"),
-                    F.sum("enc_bytes").alias("enc_bytes"),
-                    F.sort_array(F.collect_set("codec")).alias("codecs"),
-                )
-                .withColumn("run_id", F.lit(run_id))
+            from cuda_float_compress_spark.operators.encode import (
+                build_manifest,
             )
+
+            manifest = build_manifest(written, run_id)
             manifest.write.mode("append").parquet(f"{out_dir}/manifest")
             manifest_rows = spark.read.parquet(f"{out_dir}/manifest").filter(
                 F.col("run_id") == run_id

@@ -97,6 +97,29 @@ _BLOCKS_ARROW = pa.schema(
 )
 
 
+def build_manifest(written, run_id: str):
+    """Per-(part, col) manifest aggregate, shared by every writer (encode,
+    direct, compact, rewrite). Includes PART-LEVEL zone-map rollups
+    (min vmin / max vmax): two-level pruning reads these to drop whole
+    parts before touching any chunk metadata — at 100 TB the chunk
+    metadata itself is a scan worth skipping (the Iceberg
+    manifest-stats move)."""
+    return (
+        written.groupBy("part_id", "col", "col_idx", "ptype")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n").alias("n_values"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sort_array(F.collect_set("codec")).alias("codecs"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                           overrides: dict, acc, run_id: str = "",
                           profile: str = "ratio",
@@ -409,18 +432,7 @@ def encode_table(
         written = spark.read.parquet(f"{out_dir}/blocks").filter(
             F.col("run_id") == run_id
         )
-        manifest = (
-            written.groupBy("part_id", "col", "col_idx", "ptype")
-            .agg(
-                F.count("*").alias("n_chunks"),
-                F.sum("n").alias("n_values"),
-                F.sum("n_nulls").alias("n_nulls"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.sort_array(F.collect_set("codec")).alias("codecs"),
-            )
-            .withColumn("run_id", F.lit(run_id))
-        )
+        manifest = build_manifest(written, run_id)
         manifest.write.mode("append").parquet(f"{out_dir}/manifest")
 
         # lineage derives from the (tiny) manifest — one blocks scan total,

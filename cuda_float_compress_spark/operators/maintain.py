@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from cuda_float_compress_spark.codecs import core
 from cuda_float_compress_spark.operators import chunks as C
-from cuda_float_compress_spark.operators.encode import _BLOCKS_ARROW, BLOCKS_SCHEMA
+from cuda_float_compress_spark.operators.encode import (
+    _BLOCKS_ARROW,
+    BLOCKS_SCHEMA,
+    build_manifest,
+)
 
 
 def reencode_columns(
@@ -66,18 +70,7 @@ def reencode_columns(
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
 
     written = spark.read.parquet(f"{dst_dir}/blocks")
-    manifest = (
-        written.groupBy("part_id", "col", "col_idx", "ptype")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("n").alias("n_values"),
-            F.sum("n_nulls").alias("n_nulls"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.sort_array(F.collect_set("codec")).alias("codecs"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-    )
+    manifest = build_manifest(written, run_id)
     manifest.write.mode("overwrite").parquet(f"{dst_dir}/manifest")
     lineage = (
         manifest.groupBy("part_id")
@@ -357,18 +350,7 @@ def compact(
         )
     new_blocks.write.mode("overwrite").parquet(f"{dst_dir}/blocks")
     written = spark.read.parquet(f"{dst_dir}/blocks")
-    manifest = (
-        written.groupBy("part_id", "col", "col_idx", "ptype")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("n").alias("n_values"),
-            F.sum("n_nulls").alias("n_nulls"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.sort_array(F.collect_set("codec")).alias("codecs"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-    )
+    manifest = build_manifest(written, run_id)
     manifest.write.mode("overwrite").parquet(f"{dst_dir}/manifest")
     lineage = (
         manifest.groupBy("part_id")
