@@ -64,7 +64,9 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                         with_row_address: bool = False,
                         apply_deletes: bool = True,
                         chunk_keys: set | None = None,
-                        any_of: list[list[tuple]] | None = None):
+                        any_of: list[list[tuple]] | None = None,
+                        as_of: float | None = None,
+                        since: float | None = None):
     """Shuffle-free decode: every encode task wrote whole chunks to its own
     blocks file, so chunks never span files — each decode task reads one
     blocks file with pyarrow and reconstructs its chunks locally. The
@@ -81,7 +83,9 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     ``any_of``: a DISJUNCTION of conjunctions — [[...], [...]] means
     (conj1 OR conj2). Chunk pruning is the UNION of each conjunction's
     qualifying set; the exact row filter is the matching OR. Composes
-    with ``predicates`` as a further AND."""
+    with ``predicates`` as a further AND.
+    ``as_of`` / ``since``: lineage-timestamp snapshot / incremental
+    windows — parity with decode_table (see committed_blocks)."""
     import numpy as np
 
     from cuda_float_compress_spark.operators import chunks as Ch
@@ -106,13 +110,14 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
     # with pyarrow, so the lineage trust filter ships as a closure set
     # (metadata-scale — one entry per part per run)
     try:
-        lin_rows = (
-            spark.read.parquet(f"{out_dir}/lineage")
-            .filter(F.col("status") == "done")
-            .select("part_id", "run_id")
-            .distinct()
-            .collect()
+        lin = spark.read.parquet(f"{out_dir}/lineage").filter(
+            F.col("status") == "done"
         )
+        if as_of is not None:
+            lin = lin.filter(F.col("finished_at") <= float(as_of))
+        if since is not None:
+            lin = lin.filter(F.col("finished_at") > float(since))
+        lin_rows = lin.select("part_id", "run_id").distinct().collect()
         committed: set[tuple] | None = {(r["part_id"], r["run_id"]) for r in lin_rows}
     except Exception:
         committed = None

@@ -872,3 +872,28 @@ def test_incremental_read_since(spark, tmp_path):
     # disjointness: the incremental slice never overlaps the first epoch
     early = decode_table(spark, out, as_of=first["committed_at"])
     assert early.join(later, "url", "left_semi").count() == 0
+
+
+def test_direct_path_time_travel_parity(spark, tmp_path):
+    """decode_table_direct honors as_of / since like the shuffle path."""
+    from cuda_float_compress_spark.operators.decode import snapshots
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.streaming import encode_stream
+
+    src = str(tmp_path / "ttd_src")
+    out = str(tmp_path / "ttd_out")
+    generate_webpages_df(spark, 600, partitions=3).write.parquet(src)
+    encode_stream(spark, src, out, n_parts=2, max_files_per_trigger=1)
+    snaps = snapshots(spark, out).collect()
+    assert len(snaps) >= 2
+    first = snaps[0]
+    early = decode_table_direct(spark, out, as_of=first["committed_at"])
+    assert early.count() == first["n_rows"] < 600
+    later = decode_table_direct(spark, out, since=first["committed_at"])
+    assert later.count() == 600 - first["n_rows"]
+    # shuffle-path agreement on the same window
+    assert sorted(r["url"] for r in early.select("url").collect()) == sorted(
+        r["url"] for r in decode_table(
+            spark, out, as_of=first["committed_at"]
+        ).select("url").collect()
+    )
