@@ -854,6 +854,56 @@ def _merge_on_read_delete_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _merge_upsert_agg(spark, sf_dir):
+    """MERGE (upsert) on the engine's own encoded table
+    (operators/merge.merge_rows): encode documents, then upsert — every
+    doc_id % 97 == 0 row is REPLACED (lang='xx', n_chars+1000) and three
+    brand-new rows insert. Old versions retire as position tombstones
+    (never rewritten); new versions land as one append run on a disjoint
+    part range. The oracle recomputes the merged state from the raw
+    table, so a resurrected old version, a lost update, or a dropped
+    insert breaks rows/hash. The reference has no row identity at all
+    (src/cuda_float_compress.cpp:88-91 — compress/decompress is the
+    whole API); this is the Iceberg-MERGE-INTO analog on the native
+    block format."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.merge import merge_rows
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["doc_id"])
+        updates = (
+            docs.filter(F.col("doc_id") % 97 == 0)
+            .withColumn("lang", F.lit("xx"))
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        )
+        inserts = spark.createDataFrame(
+            [(-1, "fresh row one", "new", "merge", 11),
+             (-2, "fresh row two", "new", "merge", 22),
+             (-3, "fresh row three", "new", "merge", 33)],
+            "doc_id: long, text: string, lang: string, "
+            "source: string, n_chars: long",
+        ).withColumn("url", F.concat(F.lit("doc://d/"), F.col("doc_id")))
+        merge_rows(spark, out, updates.unionByName(inserts),
+                   key_col="url", sort_keys=["doc_id"])
+        dec = decode_table_direct(spark, out, columns=["lang", "n_chars"])
+        res = (
+            dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _metadata_only_agg(spark, sf_dir):
     """Aggregate WITHOUT decoding: encode documents, then answer
     count/sum/min/max over n_chars purely from the per-chunk metadata
@@ -1493,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pushdown_lookup": _bloom_pushdown_lookup,
         "alp_decoded_prices": _alp_decoded_prices,
         "merge_on_read_delete_agg": _merge_on_read_delete_agg,
+        "merge_upsert_agg": _merge_upsert_agg,
         "metadata_only_agg": _metadata_only_agg,
         "pushdown_decode_agg_or": _pushdown_decode_agg_or,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
@@ -2376,6 +2427,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE lang <> 'de'
             GROUP BY lang
+        """,
+        "merge_upsert_agg": """
+            WITH merged AS (
+                SELECT CASE WHEN doc_id % 97 = 0 THEN 'xx'
+                            ELSE lang END AS lang,
+                       CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000
+                            ELSE n_chars END AS n_chars
+                FROM documents
+                UNION ALL
+                SELECT lang, n_chars
+                FROM (VALUES ('new', 11), ('new', 22), ('new', 33))
+                     t(lang, n_chars)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM merged GROUP BY lang
         """,
         "metadata_only_agg": """
             SELECT 'all' AS scope, count(*) AS n_rows,
