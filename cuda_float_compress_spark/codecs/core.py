@@ -562,7 +562,7 @@ def fsst_train(sample: bytes) -> list[bytes]:
     counts token and adjacent-pair frequencies with one lexsort each — no
     per-position Python (the old greedy dict-walk was the last interpreted
     loop on the encode hot path)."""
-    if not sample:
+    if len(sample) == 0:  # len(), not truthiness: sample may be an np view
         return []
     sample = sample[:_FSST_SAMPLE]
     arr = np.frombuffer(sample, dtype=np.uint8)

@@ -80,16 +80,28 @@ def arrow_type_for(ptype: str) -> pa.DataType:
 # ---------------------------------------------------------------------------
 
 
-def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+_EMPTY_U8 = np.empty(0, dtype=np.uint8)
+
+
+def _bytes_ld(arr: pa.Array, with_data: bool = True) -> tuple[np.ndarray, object]:
     """(lengths[-1=null], concatenated data) from a string/binary array,
-    via buffers (no per-item Python objects)."""
+    via buffers (no per-item Python objects). ``data`` is a ZERO-COPY
+    np.uint8 view into the Arrow buffer whenever the values are already
+    contiguous (a fresh copy only on the null-slots-hold-bytes repack
+    path) — every consumer (zstd/lz4 via pa.Codec, pack_sections' join,
+    np.frombuffer, pa.py_buffer) takes buffer-protocol objects, so the
+    old per-column ``.tobytes()`` copy was pure overhead on the encode
+    hot path. ``with_data=False`` skips the data entirely (lengths-only
+    callers like raw_size_of)."""
     if not (
         pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
     ):
         arr = arr.cast(
             pa.large_string() if pa.types.is_string(arr.type) else pa.large_binary()
         )
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if isinstance(arr, pa.ChunkedArray):
+        # chunk(0) is zero-copy; combine_chunks copies even for one chunk
+        arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
     n = len(arr)
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
@@ -98,6 +110,9 @@ def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     if arr.null_count:
         valid = np.array(arr.is_valid(), dtype=bool)
         if (lengths[~valid] != 0).any():
+            marked = np.where(valid, lengths, -1)
+            if not with_data:
+                return marked, None
             # a VALID Arrow array may keep bytes under null slots (sliced /
             # externally-built buffers); slicing offsets[0]:offsets[-1] would
             # then misalign every value after the null — repack instead
@@ -109,17 +124,19 @@ def _bytes_ld(arr: pa.Array) -> tuple[np.ndarray, bytes]:
                 cs = np.zeros(len(lens_sel), dtype=np.int64)
                 np.cumsum(lens_sel[:-1], out=cs[1:])
                 within = np.arange(total, dtype=np.int64) - np.repeat(cs, lens_sel)
-                data = data_np[np.repeat(starts, lens_sel) + within].tobytes()
+                data = data_np[np.repeat(starts, lens_sel) + within]
             else:
-                data = b""
-            return np.where(valid, lengths, -1), data
+                data = _EMPTY_U8
+            return marked, data
         lengths = np.where(valid, lengths, -1)
+    if not with_data:
+        return lengths, None
     if data_buf is not None and offsets[-1] > offsets[0]:
         data = np.frombuffer(data_buf, dtype=np.uint8)[
             offsets[0] : offsets[-1]
-        ].tobytes()
+        ]
     else:
-        data = b""
+        data = _EMPTY_U8
     return lengths, data
 
 
@@ -229,7 +246,8 @@ def float_key64(v) -> int | None:
 def raw_size_of(arr: pa.Array, ptype: str) -> int:
     """Logical uncompressed size (value bytes, nulls free) for ratio metrics."""
     if ptype in ("string", "binary"):
-        lengths, _ = _bytes_ld(arr)
+        # lengths-only: computing the size must not copy the data buffer
+        lengths, _ = _bytes_ld(arr, with_data=False)
         return int(np.where(lengths > 0, lengths, 0).sum())
     if ptype == "list_float32":
         flat = arr.flatten() if hasattr(arr, "flatten") else arr.values
@@ -602,7 +620,10 @@ def _select_bytes_ld(
     starts = ends - sizes
     idx = np.arange(0, n, step)
     sample = [
-        None if lengths[i] < 0 else data[starts[i] : ends[i]] for i in idx
+        # bytes() copies ~256 small values — required: np-view slices are
+        # unhashable, and the trial codecs hash/compare sample items
+        None if lengths[i] < 0 else bytes(data[starts[i] : ends[i]])
+        for i in idx
     ]
     non_null = [s for s in sample if s is not None]
     card = len(set(non_null))

@@ -127,7 +127,10 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
     cols = {name: [] for name in _BLOCKS_ARROW.names}
     data_cols = [c for c in tbl.column_names if c != "part_id"]
     for idx, name in enumerate(data_cols):
-        arr = tbl.column(name).combine_chunks()
+        col = tbl.column(name)
+        # combine_chunks COPIES even when there is a single chunk (~60% of
+        # the non-zstd encode time on web text); chunk(0) is zero-copy
+        arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
         ptype = C.ptype_of(arr.type)
         raw = C.raw_size_of(arr, ptype)
         codec, payload, params_json, n, n_nulls = C.encode_column_chunk(
@@ -143,11 +146,20 @@ def _encode_chunk_to_rows(tbl: pa.Table, part_id: int, chunk_id: int,
                 vmin = int(np_vals.min())
                 vmax = int(np_vals.max())
                 if ptype in ("int64", "int32"):
-                    # exact chunk sum (python int — no wraparound) for
-                    # metadata-only aggregation; values summing past the
-                    # int64 column domain store null (decode fallback)
-                    s = int(np_vals.sum(dtype=object)) if len(np_vals) else 0
-                    vsum = s if -(2 ** 63) <= s < 2 ** 63 else None
+                    # exact chunk sum for metadata-only aggregation; values
+                    # summing past the int64 column domain store null
+                    # (decode fallback). Fast path: when n * max|v| cannot
+                    # reach 2^63, the int64 sum is provably overflow-free —
+                    # the object-dtype sum (a per-value Python loop) is only
+                    # needed for chunks that might actually wrap.
+                    bound = max(abs(vmin), abs(vmax))
+                    if len(np_vals) == 0:
+                        vsum = 0
+                    elif bound == 0 or len(np_vals) < (2 ** 63) // bound:
+                        vsum = int(np_vals.sum(dtype=np.int64))
+                    else:
+                        s = int(np_vals.sum(dtype=object))
+                        vsum = s if -(2 ** 63) <= s < 2 ** 63 else None
         elif ptype in ("float32", "float64") and n > n_nulls:
             # float zone maps: Spark-total-order int64 keys (NaN greatest,
             # -0.0 == 0.0 — chunks.float_key64). A chunk containing NaN

@@ -222,6 +222,7 @@ def compact(
     chunk_rows: int = 32_768,
     chunk_bytes: int = 1 << 24,
     run_id: str | None = None,
+    sort_keys: list[str] | None = None,
 ) -> dict:
     """Re-chunk an encoded dir: streaming ingest leaves many small tail
     chunks (one per micro-batch per part); compaction decodes per part and
@@ -232,6 +233,14 @@ def compact(
     rows are physically dropped (blocks cogrouped with tombstones per
     part — addresses ship to exactly the task that decodes their chunks)
     and the compacted table starts with an empty delete set.
+
+    ``sort_keys``: re-CLUSTER while compacting — each part's rows are
+    sorted (one Arrow sort per part, no cross-part shuffle) before
+    re-chunking, so zone maps over those keys stop overlapping across a
+    part's chunks. Streaming ingest and merge/upsert appends interleave
+    key ranges run by run; this is the Iceberg
+    ``rewrite_data_files(sort order)`` analog that restores pruning —
+    run it when qualifying_chunks starts selecting most of the table.
 
     Returns {'chunks_before', 'chunks_after', ...}."""
     from cuda_float_compress_spark.operators.decode import (
@@ -309,6 +318,12 @@ def compact(
             {c: pa.concat_arrays([a.cast(a.type) for a in col_arrays[c]])
              for c in ordered}
         )
+        if sort_keys:
+            import pyarrow.compute as pc
+
+            full = full.take(pc.sort_indices(
+                full, sort_keys=[(k, "ascending") for k in sort_keys]
+            ))
         # re-chunk at the target size and re-encode
         out_batches = []
         off = 0

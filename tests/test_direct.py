@@ -897,3 +897,48 @@ def test_direct_path_time_travel_parity(spark, tmp_path):
             spark, out, as_of=first["committed_at"]
         ).select("url").collect()
     )
+
+
+def test_compact_sort_keys_restores_pruning(spark, tmp_path):
+    """compact(sort_keys=) re-clusters each part: zone maps over the sort
+    key stop overlapping across a part's chunks, so a narrow predicate
+    prunes to ~1 chunk per part — and the rows survive bit-identical."""
+    from cuda_float_compress_spark.operators.decode import (
+        committed_blocks,
+        qualifying_chunks,
+    )
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.maintain import compact
+
+    enc = str(tmp_path / "s_enc")
+    packed = str(tmp_path / "s_packed")
+    # interleaved key order: every chunk of the un-clustered encode spans
+    # nearly the full score range (worst case for zone maps)
+    rows = [(i, f"doc://d/{i}", (i * 677) % 1000) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string, score: long")
+    encode_table(spark, df, enc, n_parts=2, resume=False,
+                 sort_keys=["doc_id"], chunk_rows=256)
+    pred = [("score", ">=", 400), ("score", "<=", 420)]
+    blocks_before = committed_blocks(spark, enc)
+    q_before = qualifying_chunks(blocks_before, pred).count()
+    compact(spark, enc, packed, chunk_rows=256, sort_keys=["score"])
+    blocks_after = committed_blocks(spark, packed)
+    q_after = qualifying_chunks(blocks_after, pred).count()
+    assert q_after < q_before  # clustering actually restored pruning
+    # per part: chunk [vmin,vmax] ranges are disjoint and ascending
+    zm = (
+        blocks_after.filter(F.col("col") == "score")
+        .select("part_id", "chunk_id", "vmin", "vmax").collect()
+    )
+    by_part = {}
+    for r in zm:
+        by_part.setdefault(r["part_id"], []).append(r)
+    for part_rows in by_part.values():
+        part_rows.sort(key=lambda r: r["chunk_id"])
+        for a, b in zip(part_rows, part_rows[1:]):
+            assert a["vmax"] <= b["vmin"]
+    # rows identical (order-insensitive)
+    got = sorted((r["doc_id"], r["url"], r["score"])
+                 for r in decode_table_direct(spark, packed).collect())
+    assert got == sorted(rows)
