@@ -904,6 +904,48 @@ def _merge_upsert_agg(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _compact_sorted_pushdown_agg(spark, sf_dir):
+    """Sorted compaction (operators/maintain.compact sort_keys=) as the
+    pruning-restorer: encode documents clustered by doc_id (n_chars zone
+    maps overlap — every chunk spans the range), compact re-clustered by
+    n_chars, then answer a narrow n_chars range through the compacted
+    table. The oracle recomputes from raw rows, so compaction must
+    preserve every row bit-identically while physically re-ordering
+    them — the Iceberg rewrite_data_files(sort) analog on the native
+    block format."""
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+    from cuda_float_compress_spark.operators.encode import encode_table
+    from cuda_float_compress_spark.operators.maintain import compact
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    packed = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["doc_id"], chunk_rows=2048)
+        compact(spark, out, packed, chunk_rows=8192,
+                sort_keys=["n_chars"])
+        dec = decode_table_direct(
+            spark, packed, columns=["lang", "n_chars"],
+            predicates=[("n_chars", ">=", 200), ("n_chars", "<=", 260)],
+        )
+        res = (
+            dec.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(packed, ignore_errors=True)
+
+
 def _metadata_only_agg(spark, sf_dir):
     """Aggregate WITHOUT decoding: encode documents, then answer
     count/sum/min/max over n_chars purely from the per-chunk metadata
@@ -1544,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alp_decoded_prices": _alp_decoded_prices,
         "merge_on_read_delete_agg": _merge_on_read_delete_agg,
         "merge_upsert_agg": _merge_upsert_agg,
+        "compact_sorted_pushdown_agg": _compact_sorted_pushdown_agg,
         "metadata_only_agg": _metadata_only_agg,
         "pushdown_decode_agg_or": _pushdown_decode_agg_or,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
@@ -2426,6 +2469,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE lang <> 'de'
+            GROUP BY lang
+        """,
+        "compact_sorted_pushdown_agg": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM documents
+            WHERE n_chars >= 200 AND n_chars <= 260
             GROUP BY lang
         """,
         "merge_upsert_agg": """
