@@ -179,18 +179,31 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
                pa.field("_pos", pa.int64())]
         )
 
-    # one task per blocks file, LARGEST FIRST: raw sizes per split vary with
-    # document lengths (bench table: 5x file-size skew), and Spark schedules
-    # partitions in index order — big-file-first is LPT scheduling, so the
-    # tail task is a small file instead of the biggest one. parallelize
-    # preserves element->partition order (repartition would shuffle it away).
+    # LPT bin-packing of blocks files into ~4x-slots tasks, LARGEST FIRST:
+    # raw sizes per split vary with document lengths (bench table: 5x
+    # file-size skew), so bins are balanced by bytes; and one task per FILE
+    # would pay this host's ~160 ms per-task scheduler latency per file
+    # (a streamed table's thousands of small run files must not become
+    # thousands of tasks). decode_file already loops every row in its
+    # batch; parallelize preserves element->partition order.
+    import heapq
+
     files = sorted(
         glob.glob(f"{out_dir}/blocks/*.parquet"),
         key=lambda f: -os.path.getsize(f),
     )
+    slots = max(spark.sparkContext.defaultParallelism, 1)
+    n_tasks = max(1, min(len(files), slots * 4))
+    heap = [(0, i) for i in range(n_tasks)]
+    bins: list[list] = [[] for _ in range(n_tasks)]
+    for f in files:
+        load, i = heapq.heappop(heap)
+        bins[i].append((f,))
+        heapq.heappush(heap, (load + os.path.getsize(f), i))
+    bins = [b for b in bins if b]
     files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(f,) for f in files], max(len(files), 1)
+        spark.sparkContext.parallelize(bins, max(len(bins), 1)).flatMap(
+            lambda b: b
         ),
         "file string",
     )
@@ -436,13 +449,31 @@ def encode_table_direct(
                             overrides, acc, run_id, profile,
                         )
 
-        # biggest split first (LPT): document-length skew puts up to ~5x
-        # byte spread across equal-row splits; with tasks ~ cores the
-        # straggler must not be the last-scheduled. parallelize preserves
-        # element->partition order (repartition would scramble it).
+        # LPT bin-packing: biggest split first (document-length skew puts
+        # up to ~5x byte spread across equal-row splits), each assigned to
+        # the currently-lightest of ~4x-slots bins. One TASK per BIN, not
+        # per split: a table of many small files must not pay per-task
+        # scheduler latency per file (measured ~160 ms/task on this host —
+        # 90 one-file tasks cost 16 s of pure dispatch at 1 core; at 100 TB
+        # a million small files would be a million tasks). encode_split
+        # already iterates every split row in its batch, and each split
+        # keeps its own part_id, so (part, chunk) keys are unaffected.
+        import heapq
+
         todo = sorted(todo, key=lambda s: -s[6])
+        slots = max(spark.sparkContext.defaultParallelism, 1)
+        n_tasks = max(1, min(len(todo), slots * 4))
+        heap = [(0, i) for i in range(n_tasks)]  # (bytes_assigned, bin)
+        bins: list[list] = [[] for _ in range(n_tasks)]
+        for s in todo:
+            load, i = heapq.heappop(heap)
+            bins[i].append(s)
+            heapq.heappush(heap, (load + s[6], i))
+        bins = [b for b in bins if b]
         splits_df = spark.createDataFrame(
-            spark.sparkContext.parallelize(todo, max(len(todo), 1)),
+            spark.sparkContext.parallelize(bins, len(bins)).flatMap(
+                lambda b: b
+            ),
             SPLITS_SCHEMA,
         )
         blocks = splits_df.mapInArrow(encode_split, schema=BLOCKS_SCHEMA)
