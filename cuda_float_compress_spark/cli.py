@@ -55,7 +55,24 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--out", required=True, help="source encoded dir")
     cmp_.add_argument("--dest", required=True, help="compacted encoded dir")
     cmp_.add_argument("--chunk-rows", type=int, default=32_768)
+    cmp_.add_argument(
+        "--sort-keys", default=None,
+        help="comma-separated columns: re-cluster each part while "
+             "compacting (restores zone-map pruning)",
+    )
     cmp_.add_argument("--cores", type=int, default=None)
+
+    mrg = sub.add_parser(
+        "merge",
+        help="upsert a parquet dir of row versions by key "
+             "(existing keys replaced, new keys inserted)",
+    )
+    mrg.add_argument("--out", required=True, help="encoded dir")
+    mrg.add_argument("--updates", required=True,
+                     help="parquet dir of update rows (full table schema)")
+    mrg.add_argument("--key-col", default="url")
+    mrg.add_argument("--n-parts", type=int, default=8)
+    mrg.add_argument("--cores", type=int, default=None)
 
     dele = sub.add_parser(
         "delete",
@@ -135,9 +152,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from cuda_float_compress_spark.operators.maintain import compact
 
-            print(json.dumps(
-                compact(spark, args.out, args.dest, chunk_rows=args.chunk_rows)
-            ))
+            print(json.dumps(compact(
+                spark, args.out, args.dest, chunk_rows=args.chunk_rows,
+                sort_keys=(args.sort_keys.split(",")
+                           if args.sort_keys else None),
+            )))
+        elif args.cmd == "merge":
+            from cuda_float_compress_spark.operators.merge import merge_rows
+
+            updates = spark.read.parquet(args.updates)
+            stats = merge_rows(
+                spark, args.out, updates, key_col=args.key_col,
+                n_parts=args.n_parts,
+            )
+            stats.pop("encode", None)  # keep the JSON line compact
+            print(json.dumps(stats))
         elif args.cmd == "delete":
             from cuda_float_compress_spark.operators.deletes import (
                 delete_rows,

@@ -152,6 +152,20 @@ def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
             seen[r["col"]] = r["ptype"]
             out.append((r["col"], r["ptype"]))
         elif prev != r["ptype"]:
+            if {prev, r["ptype"]} == {"timestamp_us", "timestamp_ntz"}:
+                # benign mix: both store int64 UTC micros. Spark writes
+                # TimestampType as parquet INT96, which pyarrow reads
+                # tz-NAIVE, so the direct-read path classifies the same
+                # column ntz while the DataFrame path (tz-aware Arrow
+                # batches) classifies it us — e.g. a merge_rows append
+                # onto a directly-encoded table. Coalesce to the tz-aware
+                # type: INT96 is UTC-adjusted by spec, so the instants
+                # are identical either way.
+                seen[r["col"]] = "timestamp_us"
+                out[[c for c, _ in out].index(r["col"])] = (
+                    r["col"], "timestamp_us"
+                )
+                continue
             raise ValueError(
                 f"column {r['col']!r} was appended with conflicting types "
                 f"{prev!r} and {r['ptype']!r}; re-encode the offending run"

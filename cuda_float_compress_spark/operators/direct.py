@@ -379,6 +379,93 @@ def plan_splits(input_dir: str, target_rows_per_split: int = 131_072,
     return splits
 
 
+_MANIFEST_ARROW = pa.schema([
+    ("part_id", pa.int32()),
+    ("col", pa.string()),
+    ("col_idx", pa.int32()),
+    ("ptype", pa.string()),
+    ("n_chunks", pa.int64()),
+    ("n_values", pa.int64()),
+    ("n_nulls", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    # element name + non-null mirror Spark's array<string> parquet layout
+    ("codecs", pa.list_(pa.field("element", pa.string(), nullable=False))),
+    ("vmin", pa.int64()),
+    ("vmax", pa.int64()),
+    ("run_id", pa.string()),
+])
+
+_LINEAGE_ARROW = pa.schema([
+    ("part_id", pa.int32()),
+    ("n_chunks", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("run_id", pa.string()),
+    ("status", pa.string()),
+    ("finished_at", pa.float64()),
+    ("salts_json", pa.string()),
+])
+
+
+def _atomic_parquet_append(dir_path: str, tbl: pa.Table, name: str) -> None:
+    """Append one parquet file to a dataset dir with atomic visibility:
+    write under a dot-prefixed temp name (ignored by every parquet
+    reader), then os.rename into place."""
+    os.makedirs(dir_path, exist_ok=True)
+    tmp = os.path.join(dir_path, f".inprogress-{name}")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(dir_path, name))
+
+
+def _commit_metadata_driver_side(out_dir: str, man_rows: list[dict],
+                                 run_id: str) -> None:
+    """Manifest + lineage appends for a direct-encode run, written
+    driver-side with pyarrow instead of two Spark write jobs: the rows are
+    metadata-scale (parts x cols), and each Spark job carries ~0.5 s of
+    fixed driver latency on this host — a serial tail that directly caps
+    the N -> 4N scaling-efficiency quotient. Schemas mirror the shuffle
+    path's Spark-written files EXACTLY (types checked by
+    tests/test_direct.py mixed-writer round trip), so one table dir can
+    carry appends from both writers. The lineage write lands LAST — it is
+    the run's commit point (decode trusts only lineage-committed parts)."""
+    man_cols = {f.name: [r[f.name] for r in man_rows]
+                for f in _MANIFEST_ARROW}
+    _atomic_parquet_append(
+        f"{out_dir}/manifest",
+        pa.Table.from_pydict(man_cols, schema=_MANIFEST_ARROW),
+        f"part-direct-{run_id}.parquet",
+    )
+    per_part: dict[int, dict] = {}
+    for r in man_rows:
+        p = per_part.setdefault(
+            r["part_id"],
+            {"n_chunks": 0, "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0},
+        )
+        p["n_chunks"] = max(p["n_chunks"], r["n_chunks"])
+        p["n_rows"] = max(p["n_rows"], r["n_values"])
+        p["raw_bytes"] += r["raw_bytes"]
+        p["enc_bytes"] += r["enc_bytes"]
+    now = time.time()
+    lin_cols = {
+        "part_id": list(per_part),
+        "n_chunks": [p["n_chunks"] for p in per_part.values()],
+        "n_rows": [p["n_rows"] for p in per_part.values()],
+        "raw_bytes": [p["raw_bytes"] for p in per_part.values()],
+        "enc_bytes": [p["enc_bytes"] for p in per_part.values()],
+        "run_id": [run_id] * len(per_part),
+        "status": ["done"] * len(per_part),
+        "finished_at": [now] * len(per_part),
+        "salts_json": [json.dumps({})] * len(per_part),
+    }
+    _atomic_parquet_append(
+        f"{out_dir}/lineage",
+        pa.Table.from_pydict(lin_cols, schema=_LINEAGE_ARROW),
+        f"part-direct-{run_id}.parquet",
+    )
+
+
 def encode_table_direct(
     spark: SparkSession,
     input_dir: str,
@@ -493,29 +580,20 @@ def encode_table_direct(
                 build_manifest,
             )
 
-            manifest = build_manifest(written, run_id)
-            manifest.write.mode("append").parquet(f"{out_dir}/manifest")
-            manifest_rows = spark.read.parquet(f"{out_dir}/manifest").filter(
-                F.col("run_id") == run_id
-            )
-            lineage = (
-                manifest_rows.groupBy("part_id")
-                .agg(
-                    F.max("n_chunks").alias("n_chunks"),
-                    F.max("n_values").alias("n_rows"),
-                    F.sum("raw_bytes").alias("raw_bytes"),
-                    F.sum("enc_bytes").alias("enc_bytes"),
-                )
-                .withColumn("run_id", F.lit(run_id))
-                .withColumn("status", F.lit("done"))
-                .withColumn("finished_at", F.lit(time.time()))
-                .withColumn("salts_json", F.lit(json.dumps({})))
-            )
-            lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+            # ONE Spark job (blocks-metadata scan + agg + collect); the
+            # manifest/lineage appends themselves are driver-side pyarrow
+            # writes. Manifest rows are metadata-scale (parts x cols), and
+            # each Spark write job costs ~0.5 s of fixed driver latency —
+            # a pure serial-tail Amdahl term that capped the measured
+            # N -> 4N scaling efficiency.
+            man_rows = [r.asDict() for r in
+                        build_manifest(written, run_id).collect()]
+            _commit_metadata_driver_side(out_dir, man_rows, run_id)
 
     snap = metrics.snapshot()
     snap["run_id"] = run_id
     snap["skipped_parts"] = len(done)
     snap["n_splits"] = len(todo)
+    snap["n_tasks"] = len(bins) if todo else 0
     snap["wall_sec"] = time.time() - t_start
     return snap

@@ -942,3 +942,96 @@ def test_compact_sort_keys_restores_pruning(spark, tmp_path):
     got = sorted((r["doc_id"], r["url"], r["score"])
                  for r in decode_table_direct(spark, packed).collect())
     assert got == sorted(rows)
+
+
+def test_encode_tasks_bounded_by_slots(spark, tmp_path):
+    """Many small files must NOT become one task each (per-task scheduler
+    latency): splits LPT-pack into at most ~4x-slots byte-balanced bins,
+    and the packed encode still round-trips every row."""
+    from cuda_float_compress_spark.operators.direct import (
+        decode_table_direct,
+        encode_table_direct,
+    )
+
+    src = str(tmp_path / "bp_src")
+    out = str(tmp_path / "bp_out")
+    generate_webpages_df(spark, 2400, partitions=24).write.parquet(src)
+    stats = encode_table_direct(spark, src, out, resume=False)
+    slots = spark.sparkContext.defaultParallelism
+    assert stats["n_splits"] >= 24
+    assert 1 <= stats["n_tasks"] <= min(stats["n_splits"], slots * 4)
+    assert decode_table_direct(spark, out).count() == 2400
+
+
+def test_cli_merge_and_sorted_compact(spark, tmp_path):
+    import json as _json
+
+    from cuda_float_compress_spark import cli
+    from cuda_float_compress_spark.operators.direct import decode_table_direct
+
+    src = str(tmp_path / "cm_src")
+    upd = str(tmp_path / "cm_upd")
+    out = str(tmp_path / "cm_out")
+    packed = str(tmp_path / "cm_packed")
+    generate_webpages_df(spark, 400, partitions=1).write.parquet(src)
+    # updates: re-language two existing urls + one brand-new row
+    base = spark.read.parquet(src)
+    ups = base.limit(2).withColumn("lang", F.lit("xx"))
+    new = base.limit(1).withColumn(
+        "url", F.concat(F.lit("https://new.example/"), F.col("url"))
+    )
+    ups.unionByName(new).write.parquet(upd)
+    assert cli.main(["encode", "--input", src, "--out", out,
+                     "--mode", "direct", "--cores", "4"]) == 0
+    assert cli.main(["merge", "--out", out, "--updates", upd,
+                     "--key-col", "url", "--cores", "4"]) == 0
+    assert decode_table_direct(spark, out).count() == 401
+    assert decode_table_direct(
+        spark, out, predicates=[("lang", "==", "xx")]
+    ).count() == 2
+    assert cli.main(["compact", "--out", out, "--dest", packed,
+                     "--sort-keys", "url", "--cores", "4"]) == 0
+    assert decode_table_direct(spark, packed).count() == 401
+
+
+def test_mixed_writer_metadata_schema_parity(spark, tmp_path):
+    """Direct encodes commit manifest/lineage driver-side with pyarrow;
+    Spark-path appends (e.g. merge_rows) write the same dirs via Spark.
+    Both writers' files must carry name/type-identical schemas and the
+    mixed dirs must stay readable and decodable."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from cuda_float_compress_spark.operators.decode import snapshots
+    from cuda_float_compress_spark.operators.direct import (
+        decode_table_direct,
+        encode_table_direct,
+    )
+    from cuda_float_compress_spark.operators.merge import merge_rows
+
+    src = str(tmp_path / "mx_src")
+    out = str(tmp_path / "mx_out")
+    generate_webpages_df(spark, 500, partitions=2).write.parquet(src)
+    encode_table_direct(spark, src, out, resume=False)
+    base = spark.read.parquet(src)
+    ups = base.limit(3).withColumn("lang", F.lit("xx"))
+    merge_rows(spark, out, ups, key_col="url")
+    for sub in ("manifest", "lineage"):
+        files = _glob.glob(f"{out}/{sub}/*.parquet") + _glob.glob(
+            f"{out}/{sub}/part-*/*.parquet"
+        )
+        schemas = {}
+        for f in files:
+            s = _pq.read_schema(f)
+            schemas.setdefault(
+                tuple(sorted((n, str(s.field(n).type)) for n in s.names)), []
+            ).append(f)
+        assert len(schemas) == 1, f"{sub} writers disagree: {schemas}"
+    # both decode paths see the merged state through the mixed metadata
+    assert decode_table_direct(spark, out).count() == 500
+    assert decode_table_direct(
+        spark, out, predicates=[("lang", "==", "xx")]
+    ).count() == 3
+    assert decode_table(spark, out).count() == 500
+    assert snapshots(spark, out).count() >= 2
