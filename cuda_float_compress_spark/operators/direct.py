@@ -419,6 +419,55 @@ def _atomic_parquet_append(dir_path: str, tbl: pa.Table, name: str) -> None:
     os.rename(tmp, os.path.join(dir_path, name))
 
 
+_MANIFEST_META_COLS = ["part_id", "col", "col_idx", "ptype", "n", "n_nulls",
+                       "raw_bytes", "enc_bytes", "codec", "vmin", "vmax"]
+
+
+def _manifest_rows_driver_side(blk_files: list[str],
+                               run_id: str) -> list[dict]:
+    """build_manifest's aggregate computed on the driver from the block
+    files' METADATA columns (payloads never read — parquet column
+    projection): bit-identical semantics to the Spark groupBy (count,
+    sums, sorted codec set, null-skipping min/max), pinned by the
+    mixed-writer parity test."""
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(blk_files, format="parquet").to_table(
+        columns=_MANIFEST_META_COLS,
+        filter=ds.field("run_id") == run_id,
+    )
+    cols = {c: tbl.column(c).to_pylist() for c in _MANIFEST_META_COLS}
+    agg: dict[tuple, dict] = {}
+    for i in range(tbl.num_rows):
+        key = (cols["part_id"][i], cols["col"][i],
+               cols["col_idx"][i], cols["ptype"][i])
+        a = agg.get(key)
+        if a is None:
+            a = agg[key] = {
+                "part_id": key[0], "col": key[1], "col_idx": key[2],
+                "ptype": key[3], "n_chunks": 0, "n_values": 0,
+                "n_nulls": 0, "raw_bytes": 0, "enc_bytes": 0,
+                "codecs": set(), "vmin": None, "vmax": None,
+                "run_id": run_id,
+            }
+        a["n_chunks"] += 1
+        a["n_values"] += cols["n"][i]
+        a["n_nulls"] += cols["n_nulls"][i]
+        a["raw_bytes"] += cols["raw_bytes"][i]
+        a["enc_bytes"] += cols["enc_bytes"][i]
+        a["codecs"].add(cols["codec"][i])
+        vmin, vmax = cols["vmin"][i], cols["vmax"][i]
+        if vmin is not None and (a["vmin"] is None or vmin < a["vmin"]):
+            a["vmin"] = vmin
+        if vmax is not None and (a["vmax"] is None or vmax > a["vmax"]):
+            a["vmax"] = vmax
+    out = []
+    for a in agg.values():
+        a["codecs"] = sorted(a["codecs"])
+        out.append(a)
+    return out
+
+
 def _commit_metadata_driver_side(out_dir: str, man_rows: list[dict],
                                  run_id: str) -> None:
     """Manifest + lineage appends for a direct-encode run, written
@@ -573,21 +622,28 @@ def encode_table_direct(
             ).parquet(f"{out_dir}/blocks")
 
         with metrics.stage("manifest"):
-            written = spark.read.parquet(f"{out_dir}/blocks").filter(
-                F.col("run_id") == run_id
-            )
-            from cuda_float_compress_spark.operators.encode import (
-                build_manifest,
-            )
+            # Manifest build + manifest/lineage appends are driver-side:
+            # the rows are metadata-scale (parts x cols), and every Spark
+            # job here costs ~0.5 s of fixed driver latency — a pure
+            # serial-tail Amdahl term that directly caps the measured
+            # N -> 4N scaling efficiency. Small tables (file count up to
+            # ~4x-slots bins) read the block METADATA columns with a
+            # driver-side pyarrow dataset scan; beyond that (a real
+            # cluster's thousands of task files) the same aggregate runs
+            # as a Spark job.
+            blk_files = glob.glob(f"{out_dir}/blocks/*.parquet")
+            if len(blk_files) <= 256:
+                man_rows = _manifest_rows_driver_side(blk_files, run_id)
+            else:
+                from cuda_float_compress_spark.operators.encode import (
+                    build_manifest,
+                )
 
-            # ONE Spark job (blocks-metadata scan + agg + collect); the
-            # manifest/lineage appends themselves are driver-side pyarrow
-            # writes. Manifest rows are metadata-scale (parts x cols), and
-            # each Spark write job costs ~0.5 s of fixed driver latency —
-            # a pure serial-tail Amdahl term that capped the measured
-            # N -> 4N scaling efficiency.
-            man_rows = [r.asDict() for r in
-                        build_manifest(written, run_id).collect()]
+                written = spark.read.parquet(f"{out_dir}/blocks").filter(
+                    F.col("run_id") == run_id
+                )
+                man_rows = [r.asDict() for r in
+                            build_manifest(written, run_id).collect()]
             _commit_metadata_driver_side(out_dir, man_rows, run_id)
 
     snap = metrics.snapshot()

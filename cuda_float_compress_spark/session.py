@@ -44,6 +44,12 @@ def get_spark(
         # payload blocks are already codec-compressed; parquet recompression
         # of binary blobs wastes CPU at 100 TB scale
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # committer v2: task outputs rename directly into place instead of
+        # a second driver-serial rename pass at job commit. Safe for this
+        # engine's dirs by design: decode trusts only lineage-committed
+        # (part, run) pairs, so files from a failed/partial job are inert
+        # (same argument as task retries), and vacuum reclaims them.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for k, v in (extra or {}).items():
