@@ -1035,3 +1035,25 @@ def test_mixed_writer_metadata_schema_parity(spark, tmp_path):
     ).count() == 3
     assert decode_table(spark, out).count() == 500
     assert snapshots(spark, out).count() >= 2
+
+
+def test_cli_stats(spark, tmp_path, capsys):
+    import json as _json
+
+    from cuda_float_compress_spark import cli
+    from cuda_float_compress_spark.operators.direct import encode_table_direct
+
+    src = str(tmp_path / "st_src")
+    out = str(tmp_path / "st_out")
+    generate_webpages_df(spark, 400, partitions=1).write.parquet(src)
+    encode_table_direct(spark, src, out, resume=False)
+    capsys.readouterr()
+    assert cli.main(["stats", "--out", out, "--cores", "4"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    rep = _json.loads(lines[-1])
+    cols = {c["col"]: c for c in rep["columns"]}
+    assert set(cols) == {"url", "warc_ts", "html", "text", "lang"}
+    assert rep["ratio"] > 2.0
+    assert cols["lang"]["codecs"]  # every column reports its codec set
+    assert cols["text"]["n_values"] == 400
