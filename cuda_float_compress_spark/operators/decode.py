@@ -455,7 +455,7 @@ def decode_table(
         tombstones_df,
     )
 
-    tombs = tombstones_df(spark, out_dir) if apply_deletes else None
+    tombs = tombstones_df(spark, out_dir, as_of=as_of) if apply_deletes else None
     blocks = committed_blocks(spark, out_dir, as_of=as_of, since=since)
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))

@@ -43,17 +43,32 @@ __all__ = ["delete_rows", "delete_rows_by_keys", "tombstones_df",
 ADDRESS_COLS = ("_part_id", "_chunk_id", "_pos")
 
 
-def tombstones_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def tombstones_df(spark: SparkSession, out_dir: str,
+                  as_of: float | None = None) -> DataFrame | None:
     """Committed tombstones of an encoded table, or None when there are
     none. Only delete runs whose Spark job committed (``_SUCCESS``) are
-    trusted — a crashed delete_rows leaves an inert partial dir."""
+    trusted — a crashed delete_rows leaves an inert partial dir.
+
+    ``as_of`` scopes deletes in time (the Iceberg sequence-number rule
+    for position deletes): a snapshot read dated BEFORE a delete
+    committed must still see the rows. Legacy delete runs predating the
+    ``committed_at`` column apply unconditionally (mergeSchema surfaces
+    them as null)."""
     runs = [
         d for d in glob.glob(os.path.join(out_dir, "deletes", "run-*"))
         if os.path.exists(os.path.join(d, "_SUCCESS"))
     ]
     if not runs:
         return None
-    return spark.read.parquet(*runs).select(
+    df = spark.read.option("mergeSchema", "true").parquet(*runs)
+    if "committed_at" not in df.columns:
+        df = df.withColumn("committed_at", F.lit(None).cast("double"))
+    if as_of is not None:
+        df = df.filter(
+            F.col("committed_at").isNull()
+            | (F.col("committed_at") <= float(as_of))
+        )
+    return df.select(
         F.col("_part_id").cast("int"),
         F.col("_chunk_id").cast("long"),
         F.col("_pos").cast("long"),
@@ -128,7 +143,9 @@ def delete_rows_by_keys(
 
 def _commit_tombstones(spark, out_dir: str, addr: DataFrame,
                        run_id: str) -> dict:
+    import time
+
     path = os.path.join(out_dir, "deletes", f"run-{run_id}")
-    addr.write.parquet(path)
+    addr.withColumn("committed_at", F.lit(time.time())).write.parquet(path)
     n = spark.read.parquet(path).count()
     return {"run_id": run_id, "tombstones": int(n)}

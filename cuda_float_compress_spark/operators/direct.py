@@ -166,7 +166,7 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         tombstones_df,
     )
 
-    tombs = tombstones_df(spark, out_dir) if apply_deletes else None
+    tombs = tombstones_df(spark, out_dir, as_of=as_of) if apply_deletes else None
     address = bool(with_row_address or tombs is not None)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[p]}" for c, p in cols)
     arrow_schema = pa.schema([pa.field(c, _STD_ARROW[p]) for c, p in cols])

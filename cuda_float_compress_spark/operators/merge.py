@@ -88,11 +88,18 @@ def merge_rows(
     # 1. old-version addresses, BEFORE the append — materialized so the
     #    lazy plan can never be re-evaluated against the post-append table
     staging = os.path.join(out_dir, "deletes", f"_staging-{run_id}")
+    import time as _time
+
     addr = (
         decode_table_direct(spark, out_dir, columns=[key_col],
                             with_row_address=True)
         .join(updates.select(key_col).distinct(), key_col, "left_semi")
         .select(*ADDRESS_COLS)
+        # time-scopes the tombstones for as_of snapshot reads; stamped at
+        # staging-write time, which can only predate the rename-publish —
+        # an as_of cut between append-commit and publish therefore reads
+        # the post-merge state (new rows, old versions retired)
+        .withColumn("committed_at", F.lit(_time.time()))
     )
     addr.write.parquet(staging)
     n_tomb = spark.read.parquet(staging).count()

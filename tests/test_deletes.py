@@ -150,3 +150,20 @@ def test_delete_rows_by_keys_takedown_list(spark, docs_table):
     delete_rows(spark, docs_table, [("lang", "==", "de")])
     got2 = _ids(decode_table_direct(spark, docs_table))
     assert got2 == [i for i in range(300) if i % 10 != 0 and i % 3 != 1]
+
+
+def test_as_of_before_delete_shows_rows(spark, docs_table):
+    """Iceberg position-delete time scoping: a snapshot read dated before
+    the delete committed still sees the rows, on all three readers."""
+    import time
+
+    from cuda_float_compress_spark.localio import read_table_local
+
+    t0 = time.time()
+    time.sleep(0.05)
+    delete_rows(spark, docs_table, [("lang", "==", "de")])
+    assert decode_table_direct(spark, docs_table).count() == 200
+    assert decode_table_direct(spark, docs_table, as_of=t0).count() == 300
+    assert decode_table(spark, docs_table, as_of=t0).count() == 300
+    assert read_table_local(docs_table, as_of=t0).num_rows == 300
+    assert read_table_local(docs_table).num_rows == 200
