@@ -946,6 +946,42 @@ def _compact_sorted_pushdown_agg(spark, sf_dir):
         shutil.rmtree(packed, ignore_errors=True)
 
 
+def _local_reader_agg(spark, sf_dir):
+    """The Spark-FREE reader in the driver contract: encode documents,
+    read a predicate slice back with localio.read_table_local (pure
+    pyarrow — no JVM decode; lineage trust + zone-map pruning + exact
+    filters all exercised), and hand the arrow rows to Spark only for
+    the final aggregate. The oracle recomputes from the raw table. The
+    reference's decompress is likewise an in-process local call
+    (src/cuda_float_compress.cpp:88-91) — this pins the table-level
+    analog."""
+    from cuda_float_compress_spark.localio import read_table_local
+    from cuda_float_compress_spark.operators.encode import encode_table
+
+    out = f"{SCRATCH}/q_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = _read(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("doc://d/"), F.col("doc_id"))
+        )
+        encode_table(spark, docs, out, n_parts=8, resume=False,
+                     sort_keys=["n_chars"])
+        tbl = read_table_local(
+            out, columns=["lang", "n_chars"],
+            predicates=[("n_chars", ">=", 150), ("n_chars", "<=", 300)],
+        )
+        local_df = spark.createDataFrame(tbl.to_pandas())
+        res = (
+            local_df.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _metadata_only_agg(spark, sf_dir):
     """Aggregate WITHOUT decoding: encode documents, then answer
     count/sum/min/max over n_chars purely from the per-chunk metadata
@@ -1587,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_on_read_delete_agg": _merge_on_read_delete_agg,
         "merge_upsert_agg": _merge_upsert_agg,
         "compact_sorted_pushdown_agg": _compact_sorted_pushdown_agg,
+        "local_reader_agg": _local_reader_agg,
         "metadata_only_agg": _metadata_only_agg,
         "pushdown_decode_agg_or": _pushdown_decode_agg_or,
         "pushdown_decode_agg_str": _pushdown_decode_agg_str,
@@ -2478,6 +2515,13 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars)::BIGINT AS max_chars
             FROM documents
             WHERE n_chars >= 200 AND n_chars <= 260
+            GROUP BY lang
+        """,
+        "local_reader_agg": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            WHERE n_chars >= 150 AND n_chars <= 300
             GROUP BY lang
         """,
         "merge_upsert_agg": """
