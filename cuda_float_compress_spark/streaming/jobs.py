@@ -422,6 +422,77 @@ def encode_stream(
     return q
 
 
+def merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    key_col: str = "url",
+    url_col: str = "url",
+    version_col: str | None = None,
+    n_parts: int = 8,
+    query_name: str = "merge_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous UPSERT ingest (the CDC-apply loop): every micro-batch of
+    row VERSIONS is merged into the encoded table via
+    :func:`~cuda_float_compress_spark.operators.merge.merge_rows` —
+    existing keys replaced, new keys inserted. ``version_col`` picks the
+    winner when one batch carries several versions of a key (highest
+    wins, ties broken arbitrarily-but-deterministically); without it,
+    batches must be key-unique (merge_rows refuses duplicates).
+
+    Replay contract: merge_rows is crash-healing — a foreachBatch retry
+    re-scans and tombstones BOTH the original rows and any copies an
+    interrupted attempt appended before appending again, so the table
+    state is per-key idempotent under epoch replays (exactly one, the
+    latest, version per key). Replays do append extra runs; ``compact``
+    reclaims the storage."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    from cuda_float_compress_spark.operators.merge import merge_rows
+
+    batch_df = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(df, epoch_id: int):
+        s = df.sparkSession
+        if version_col is not None:
+            w = _W.partitionBy(key_col).orderBy(
+                _F.col(version_col).desc(), *[
+                    _F.col(c).desc() for c in df.columns
+                    if c not in (key_col, version_col)
+                ]
+            )
+            df = (
+                df.withColumn("__rn", _F.row_number().over(w))
+                .filter(_F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if df.isEmpty():
+            return
+        merge_rows(
+            s, out_dir, df, key_col=key_col, url_col=url_col,
+            n_parts=n_parts,
+            run_id=f"mrg-{epoch_id}-{_uuid.uuid4().hex[:6]}",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_merge_checkpoint")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_session_windows(
     spark: SparkSession,
     source_dir: str,

@@ -127,3 +127,43 @@ def test_merge_visible_to_incremental_readers(spark, docs_table):
     got = sorted(r["doc_id"] for r in delta.select("doc_id").collect())
     assert got == [5, 1000]
     assert decode_table(spark, docs_table).count() == snaps_before + 1
+
+
+def test_merge_stream_multi_epoch(spark, tmp_path):
+    """Continuous upsert ingest: two micro-batches of row versions stream
+    into the table; the final state holds exactly the latest version per
+    key, including an intra-batch version conflict resolved by
+    version_col."""
+    import time
+
+    from cuda_float_compress_spark.streaming import merge_stream
+
+    out = str(tmp_path / "ms_enc")
+    src = str(tmp_path / "ms_src")
+    sch = ("doc_id: long, url: string, lang: string, score: long, "
+           "version: long")
+    base = [(i, f"doc://d/{i}", "en", i, 0) for i in range(100)]
+    encode_table(spark, spark.createDataFrame(base, sch), out,
+                 n_parts=2, resume=False, sort_keys=["doc_id"])
+    # epoch 1: update 5 and 6, insert 1000
+    spark.createDataFrame(
+        [(5, "doc://d/5", "v1", 5, 1), (6, "doc://d/6", "v1", 6, 1),
+         (1000, "doc://d/1000", "v1", 0, 1)], sch,
+    ).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> file source splits the epochs
+    # epoch 2: update 5 again; insert 1001 TWICE in one batch (v1 then v2)
+    spark.createDataFrame(
+        [(5, "doc://d/5", "v2", 55, 2),
+         (1001, "doc://d/1001", "old", 1, 1),
+         (1001, "doc://d/1001", "new", 2, 2)], sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+    merge_stream(spark, src, out, key_col="url", version_col="version",
+                 n_parts=2, max_files_per_trigger=1)
+    got = {r["doc_id"]: (r["lang"], r["score"], r["version"])
+           for r in decode_table_direct(spark, out).collect()}
+    assert len(got) == 102
+    assert got[5] == ("v2", 55, 2)
+    assert got[6] == ("v1", 6, 1)
+    assert got[1000] == ("v1", 0, 1)
+    assert got[1001] == ("new", 2, 2)
+    assert got[7] == ("en", 7, 0)  # untouched base row
