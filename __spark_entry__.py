@@ -484,14 +484,12 @@ def _clean_corpus(spark, sf_dir):
     language filter AND quality filters in one pass — what a 100 TB corpus
     pipeline materializes before tokenization. Every ingredient is its own
     oracle-green query; this verifies their composition."""
-    from cuda_float_compress_spark.operators.dedup import exact_dedup
     from cuda_float_compress_spark.operators.text import (
         quality_score_cols,
         with_lang_id,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    keep = exact_dedup(docs, "doc_id").select(F.col("keep_id").alias("doc_id"))
     cols = quality_score_cols(F.col("text"))
     q = docs.withColumn("punct_ratio", cols["punct_ratio"]).withColumn(
         "nc", cols["n_chars"]
@@ -500,7 +498,21 @@ def _clean_corpus(spark, sf_dir):
     # on survivors — at 100 TB the ordering is most of the query's cost
     cheap = q.filter((F.col("punct_ratio") <= 0.2) & (F.col("nc") >= 100))
     good = with_lang_id(cheap).filter(F.col("lang_pred") == "en")
-    return good.join(keep, "doc_id", "left_semi").select("doc_id", "punct_ratio")
+    # exact-dedup keep rule applied AFTER the filters with one window over
+    # the survivors (3 narrow columns shuffle once), replacing the old
+    # full-corpus groupBy + left-semi join (two shuffles + a second table
+    # scan). Identical result: exact duplicates share the text bytes, so
+    # every quality/lang predicate passes or fails for the whole group
+    # together — the min-id member of a surviving group is also the
+    # group's global min-id keeper.
+    sel = good.select("doc_id", "punct_ratio",
+                      F.md5(F.col("text")).alias("__md5"))
+    keep_min = F.min("doc_id").over(W.partitionBy("__md5"))
+    return (
+        sel.withColumn("__min_id", keep_min)
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id", "punct_ratio")
+    )
 
 
 def _stratified_sample(spark, sf_dir):

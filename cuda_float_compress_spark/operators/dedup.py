@@ -37,6 +37,17 @@ from cuda_float_compress_spark.operators.text import shingles_col, word_shingles
 
 HASH_BITS = 60
 
+#: r7 optimization switch: eagerly materialize (localCheckpoint) small
+#: intermediates that feed multiple plan branches, so their expensive
+#: upstream (signatures, window hashing, bucket caps) runs ONCE instead of
+#: once per branch. Tests that assert on the pre-materialization plan shape
+#: monkeypatch this to False (results are identical either way).
+EAGER_MATERIALIZE = True
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True) if EAGER_MATERIALIZE else df
+
 
 def hash60_col(c: Column) -> Column:
     """60-bit md5-derived hash of a string column (JVM-side, portable)."""
@@ -78,7 +89,11 @@ def _window_capped_pairs(
             ),
             F.sum((F.col("rn") == 1).cast("long")).alias("buckets"),
         )
-    kept = ranked.filter(F.col("rn") <= cap).drop("rn")
+    # `kept` feeds BOTH self-join branches; without materialization each
+    # branch re-derives the whole upstream pipeline (for minhash: the full
+    # shingle->signature->band computation ran TWICE). kept is tiny —
+    # (bucket_cols, id) rows, <= cap per bucket.
+    kept = _materialize(ranked.filter(F.col("rn") <= cap).drop("rn"))
     a = kept.select(*bucket_cols, F.col("id").alias("id_a"))
     b = kept.select(*bucket_cols, F.col("id").alias("id_b"))
     return (
@@ -140,29 +155,55 @@ def dup_span_counts(
 
     Returns (id_col, dup_gram_count) for documents with >= 1 shared
     window. Oracle twin: same windows via generate_series + substr in
-    DuckDB with the md5-60bit portable hash."""
-    from cuda_float_compress_spark.operators.text import _chars_col
+    DuckDB with the md5-60bit portable hash.
 
-    n = F.length(F.col(text_col))
-    chars = _chars_col(F.col(text_col))
-    grams = (
-        df.filter(n >= gram_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n - (gram_len - 1), F.lit(stride)),
-                    lambda i: hash60_col(
-                        F.array_join(F.slice(chars, i, gram_len), "")
-                    ),
-                )
-            ).alias("h"),
-        )
-        .distinct()
+    The window hashes are computed in a ``mapInArrow`` batch function
+    (guide §4.2: hand whole batches to native code): hashlib.md5 over the
+    utf-8 bytes of each codepoint-sliced window — the identical value the
+    old Catalyst chain (per-codepoint split + 19 slice/array_join allocs +
+    md5 expression per window) produced at ~28 us/window; the Python-slice
+    path measures ~2 us/window and is O(doc) not O(doc^2) on 100 KB pages.
+    Windows are deduplicated PER DOC inside the task (a Python set), so
+    (id, h) is globally distinct by construction — the global .distinct()
+    shuffle disappears and dup_h needs count(*), not count_distinct."""
+    import hashlib
+
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    filtered = df.filter(F.length(F.col(text_col)) >= gram_len).select(
+        F.col(id_col), F.col(text_col).alias("__t")
     )
+
+    def win_hashes(batches):
+        md5 = hashlib.md5
+        for b in batches:
+            out_ids: list = []
+            out_h: list = []
+            for rid, s in zip(b.column(0).to_pylist(),
+                              b.column(1).to_pylist()):
+                hs = {
+                    int(md5(s[j:j + gram_len].encode("utf-8"))
+                        .hexdigest()[:15], 16)
+                    for j in range(0, len(s) - gram_len + 1, stride)
+                }
+                out_ids.extend([rid] * len(hs))
+                out_h.extend(hs)
+            yield pa.record_batch(
+                [pa.array(out_ids), pa.array(out_h, pa.int64())],
+                names=["id", "h"],
+            )
+
+    grams = filtered.mapInArrow(
+        win_hashes, schema=f"id {id_type}, h long"
+    ).withColumnRenamed("id", id_col)
+    # materialized ONCE: `grams` feeds BOTH the dup_h groupBy and the
+    # final join — without the checkpoint Spark re-runs the whole window
+    # hashing per branch. Same pattern as minhash_lsh_pairs' candidates.
+    grams = _materialize(grams)
     dup_h = (
         grams.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
+        .agg(F.count("*").alias("nd"))  # (id, h) distinct by construction
         .filter(F.col("nd") >= 2)
         .select("h")
     )
@@ -401,9 +442,14 @@ def jaccard_verify_candidates(
     # verify on the HASHED shingle sets (same arithmetic the signature used
     # — no second string-building pass; 60-bit collisions are negligible and
     # the SQL oracle computes the identical sets)
-    sh = with_shingle_hashes(pruned, text_col, shingle_k, shingle_mode).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct("__shingle_hashes").alias("sh"),
+    # materialized once: `sh` feeds both join sides (a and b) — without the
+    # checkpoint the semi-join + shingle-hash pass over candidate docs runs
+    # twice
+    sh = _materialize(
+        with_shingle_hashes(pruned, text_col, shingle_k, shingle_mode).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct("__shingle_hashes").alias("sh"),
+        )
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -507,7 +553,13 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: block on 15-bit chunks (pigeonhole: any
     pair within hamming<=3 shares at least one of 4 chunks), verify hamming.
     Buckets capped at ``bucket_cap`` (lowest ids win, drops observable)."""
-    s = with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    # Materialize the signatures ONCE: `s` feeds THREE consumers (the
+    # bucket explode + both verify-join sides), and the pandas-UDF simhash
+    # pass over every document would otherwise run three times. (id,
+    # simhash) is two longs per doc — the checkpoint is ~free.
+    s = _materialize(with_simhash(df, text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    ))
     chunk = F.array(
         *[
             F.struct(

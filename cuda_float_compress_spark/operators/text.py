@@ -92,9 +92,12 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     the standard cheap quality signals (C4/Gopher-style heuristics, public)."""
     n_chars = F.length(text)
     safe = F.greatest(n_chars, F.lit(1))
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    # regexp_count, not length(regexp_replace(...)): every pattern matches
+    # exactly one char, so the counts are identical — without allocating a
+    # stripped copy of the text per pattern
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(text, F.lit(r"[A-Z]"))
     n_tok = token_count_col(text)
     mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(
         F.lit(0.0)
@@ -192,61 +195,65 @@ def with_repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df
 
 
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` = the longest run in
+    the sorted array, via one linear fold (accumulator: previous element,
+    current run, best run). Empty array -> 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("b"),
+    )
+
+    def step(acc, x):
+        r_new = F.when(acc["p"] == x, acc["r"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("p"), r_new.alias("r"),
+            F.greatest(acc["b"], r_new).alias("b"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step).getField("b")
+
+
 def top_ngram_fractions(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Gopher-style top-n-gram concentration per document: the share of
     word occurrences taken by the single most frequent unigram and bigram.
     A page whose top bigram covers 20% of it is navigation/boilerplate.
 
-    Distributed shape (NOT per-row array ops): explode -> groupBy
-    (id, gram) -> groupBy id, so Spark's map-side partial aggregation
-    bounds the shuffle by the number of DISTINCT grams per partition —
-    the same plan at 100 TB. Docs with no words report 0.0 fractions."""
+    Shape: the signal is strictly per-document, so it is computed per ROW
+    (sort the doc's gram array once, longest run = top-gram count) with
+    ZERO shuffles — one scan, no exchange at any scale. The previous
+    explode -> groupBy(id, gram) -> groupBy(id) -> join shape shuffled
+    every gram occurrence twice and re-scanned the table three times for
+    the same per-doc answer. Docs with no words report 0.0 fractions."""
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda s: F.length(s) > 0,
     )
     base = df.select(F.col(id_col), words.alias("_words"))
-    toks = base.select(id_col, F.explode("_words").alias("w"))
-    uni = (
-        toks.groupBy(id_col, "w").count()
-        .groupBy(id_col)
-        .agg(F.max("count").alias("_top_u"), F.sum("count").alias("n_words"))
-    )
-    # adjacent-pair bigrams built JVM-side (zip_with of the two slices),
-    # then the same explode/agg shape
     n = F.size("_words")
     bigrams = F.zip_with(
         F.slice("_words", 1, F.greatest(n - 1, F.lit(0))),
         F.slice("_words", 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bg = (
-        base.select(id_col, F.explode(bigrams).alias("g"))
-        .groupBy(id_col, "g").count()
-        .groupBy(id_col)
-        .agg(F.max("count").alias("_top_b"), F.sum("count").alias("_n_bg"))
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            _max_run_count(F.col("_words")).cast("double")
+            / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("top_word_frac"),
+        F.round(
+            _max_run_count(bigrams).cast("double")
+            / F.greatest(F.size(bigrams), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
     )
-    out = (
-        df.select(id_col).distinct()
-        .join(uni, id_col, "left")
-        .join(bg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.round(
-                F.coalesce("_top_u", F.lit(0)).cast("double")
-                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("top_word_frac"),
-            F.round(
-                F.coalesce("_top_b", F.lit(0)).cast("double")
-                / F.greatest(F.coalesce("_n_bg", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
-    )
-    return out
 
 
 def url_canonicalize_col(url: Column) -> Column:
@@ -310,10 +317,11 @@ def html_to_text_col(html: Column) -> Column:
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
     # &amp; decodes LAST: decoding it first would double-unescape
     # entity-escaped entities ("&amp;lt;" must yield the literal "&lt;",
-    # not "<")
+    # not "<"). Literal replace (no regex engine): the entity strings
+    # contain no metacharacters, so the result is byte-identical.
     for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                      ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
-        t = F.regexp_replace(t, ent, rep)
+        t = F.replace(t, F.lit(ent), F.lit(rep))
     # explicit class, not \s: Java \s includes \x0B, RE2's does not — the
     # explicit class keeps the DuckDB oracle byte-identical on any input
     return F.trim(F.regexp_replace(t, "[ \\t\\n\\r\\f]+", " "))
@@ -352,11 +360,11 @@ def redact_pii_col(text: Column) -> Column:
 def with_pii_redaction(df: DataFrame, text_col: str = "text",
                        out: str = "redacted") -> DataFrame:
     df = df.withColumn(out, redact_pii_col(F.col(text_col)))
+    # one alternation pass, not three: the placeholder literals cannot
+    # overlap, so the count is the same sum
     return df.withColumn(
         "pii_hits",
-        (F.regexp_count(F.col(out), F.lit("<EMAIL>"))
-         + F.regexp_count(F.col(out), F.lit("<IP>"))
-         + F.regexp_count(F.col(out), F.lit("<PHONE>"))).cast("int"),
+        F.regexp_count(F.col(out), F.lit("<EMAIL>|<IP>|<PHONE>")).cast("int"),
     )
 
 

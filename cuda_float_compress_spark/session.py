@@ -32,6 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # join strategy (optimization-guide §3.1/§9): allow shuffled-hash
+        # join when a side fits per-partition (no sort passes), let AQE
+        # rewrite sort-merge -> shuffled-hash for small post-shuffle maps,
+        # and broadcast dimension tables up to 64 MB estimated (a few
+        # hundred MB is safe on any modern executor; fact tables at 100 TB
+        # stay far above the threshold, so the choice remains self-limiting
+        # at scale). Values are overridable per-session via ``extra``.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -88,10 +88,11 @@ def test_top_ngram_fractions_pinned(spark):
     assert got[2]["top_bigram_frac"] == 0.0
     assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
     assert got[4]["top_word_frac"] == 0.75
-    # scale shape: the aggregate must be partial (map-side combine), not a
-    # full-row shuffle of raw tokens beyond the (id, gram) key
+    # scale shape (r7 optimization): the signal is per-document, so the plan
+    # must be a pure per-row projection — ZERO exchanges at any scale (the
+    # old explode -> groupBy -> join shape shuffled every gram twice)
     plan = text.top_ngram_fractions(df)._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Exchange" not in plan
 
 
 def test_url_canonicalize_pinned(spark):
@@ -323,6 +324,25 @@ def test_dup_span_counts(spark, dup_docs):
                                  gram_len=32, stride=1).count() == 0
 
 
+def test_dup_span_counts_unicode_codepoint_windows(spark):
+    """r7 internals pin: the mapInArrow window hasher slices by CODEPOINT
+    (Python str slicing) and hashes utf-8 bytes — identical to the old
+    JVM substring + md5 definition and the DuckDB oracle. Multi-byte
+    chars (2- and 3-byte utf-8) at the window head would expose any
+    byte-based slicing immediately."""
+    base = "é中" + "x" * 30  # 32 codepoints, 35 utf-8 bytes
+    df = spark.createDataFrame(
+        [(1, base + "AAAA"), (2, base + "BBBB"), (3, "z" * 36)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["dup_gram_count"] for r in
+           dedup.dup_span_counts(df, "doc_id", "text",
+                                 gram_len=32, stride=16).collect()}
+    # only window start 1 samples (len 36 < 1+16+31): docs 1/2 share that
+    # 32-codepoint window exactly; doc 3 shares nothing
+    assert got == {1: 1, 2: 1}
+
+
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     pairs = dedup.minhash_lsh_pairs(
         dup_docs, "doc_id", n_hashes=16, bands=8, threshold=0.5
@@ -421,13 +441,20 @@ def test_lsh_bucket_caps_bound_skew(spark):
     assert obs2.get["dropped_members"] == 4 * (n - 64)  # 4 bands
 
 
-def test_lsh_mega_bucket_no_collect_list(spark):
+def test_lsh_mega_bucket_no_collect_list(spark, monkeypatch):
     """A 10^5-member single near-dup bucket (templated pages that exact-dedup
     can NOT pre-collapse) must flow through the cap WITHOUT collect_list: the
     old collect_list+slice plan materialized the uncapped bucket in one
     aggregation buffer (executor OOM at 100 TB); the row_number window is a
-    spillable sort bounded at the cap."""
+    spillable sort bounded at the cap.
+
+    EAGER_MATERIALIZE is switched off so the full logical pipeline stays in
+    one inspectable plan (the r7 localCheckpoints otherwise cut it at the
+    materialization points); results are identical either way, and the
+    default-path behavior is covered by every other dedup test."""
     from pyspark.sql import Observation
+
+    monkeypatch.setattr(dedup, "EAGER_MATERIALIZE", False)
 
     n = 100_000
     df = spark.range(n).select(
