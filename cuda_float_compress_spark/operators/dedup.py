@@ -37,6 +37,8 @@ from cuda_float_compress_spark.operators.text import shingles_col, word_shingles
 
 HASH_BITS = 60
 
+_WS_SPLIT = __import__("re").compile(r"[ \t\n\x0b\f\r]+")  # Java \\s+ twin
+
 #: r7 optimization switch: eagerly materialize (localCheckpoint) small
 #: intermediates that feed multiple plan branches, so their expensive
 #: upstream (signatures, window hashing, bucket caps) runs ONCE instead of
@@ -366,6 +368,106 @@ def minhash_banded_keys(
     )
 
 
+def _np_word_window_hashes(
+    s: str, w: int = 5, cache: dict | None = None
+) -> np.ndarray:
+    """Python/numpy twin of ``with_shingle_hashes`` word mode for ONE
+    document: md5-60bit word hashes, then each w-window's hash = XOR over
+    positions j of rot60(word_hash[i+j], 8j) with out-of-range words as 0.
+    Bit-identical to the Column-expression path (pinned by
+    tests/test_ops.py::test_minhash_arrow_matches_expression_path):
+    - tokenization: strip SPACES only (Spark trim), split on Java \\s+
+      ([ \\t\\n\\x0B\\f\\r]+) keeping leading/trailing empty tokens like
+      Java split(limit=-1);
+    - hash60: int(md5(utf8)[:15 hex], 16), same as hash60_col/the oracle.
+    Returns a uint64 array of window hashes (values < 2^60)."""
+    toks = _WS_SPLIT.split(s.strip(" "))
+    md5 = hashlib.md5
+    if cache is None:
+        it = (int(md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks)
+    else:
+        # word-hash memo (Zipf: most tokens repeat constantly) — the caller
+        # owns the dict, typically one per task so it amortizes across every
+        # batch of the partition (guide §4.5)
+        def _h(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                if len(cache) < 1_000_000:  # bound task memory
+                    cache[t] = v
+            return v
+
+        it = (_h(t) for t in toks)
+    wh = np.fromiter(it, dtype=np.uint64, count=len(toks))
+    n = len(wh)
+    nw = max(n - (w - 1), 1)
+    pad = np.zeros(nw + w - 1, dtype=np.uint64)
+    pad[:n] = wh[: nw + w - 1]
+    acc = np.zeros(nw, dtype=np.uint64)
+    for j in range(w):
+        r = (ROT_STEP * j) % 60
+        x = pad[j:j + nw]
+        if r:
+            low = np.uint64((1 << (60 - r)) - 1)
+            x = ((x & low) << np.uint64(r)) | (x >> np.uint64(60 - r))
+        acc = acc ^ x
+    return acc
+
+
+def minhash_banded_keys_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Batch fast path for :func:`minhash_banded_keys` (word mode): the
+    whole signature -> band-key chain runs inside ``mapInArrow`` (guide
+    §4.2) — hashlib md5 per word + numpy rot/xor windows + numpy min per
+    permutation — instead of a per-word md5 Catalyst expression tree
+    (measured ~2x on the signature stage). Values are bit-identical to
+    the expression path (parity-pinned); streaming callers keep the pure
+    Column-expression form."""
+    import pyarrow as pa
+
+    perms = np.array(
+        [hash60_py(f"minhash-perm-{i}") for i in range(n_hashes)],
+        dtype=np.uint64,
+    )
+    rows_per_band = n_hashes // bands
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def band_keys(batches):
+        md5 = hashlib.md5
+        band_ids = list(range(bands))
+        word_cache: dict = {}
+        for b in batches:
+            out_ids: list = []
+            out_band: list = []
+            out_key: list = []
+            for rid, s in zip(b.column(0).to_pylist(),
+                              b.column(1).to_pylist()):
+                win = _np_word_window_hashes(s, shingle_k, word_cache)
+                sig = (win[:, None] ^ perms[None, :]).min(axis=0)
+                for bi in band_ids:
+                    sl = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                    key = md5(",".join(
+                        str(int(v)) for v in sl
+                    ).encode("utf-8")).hexdigest()
+                    out_ids.append(rid)
+                    out_band.append(bi)
+                    out_key.append(key)
+            yield pa.record_batch(
+                [pa.array(out_ids), pa.array(out_band, pa.int32()),
+                 pa.array(out_key, pa.string())],
+                names=["id", "band", "key"],
+            )
+
+    return src.mapInArrow(band_keys, schema=f"id {id_type}, band int, key string")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -381,9 +483,14 @@ def minhash_lsh_candidates(
     Band key = md5 of the comma-joined band slice (portable to SQL). The only
     shuffle is groupBy(band, key) over (id, key) rows — tiny vs the corpus —
     and buckets are capped at ``bucket_cap`` members (drops observable)."""
-    exploded = minhash_banded_keys(
-        df, id_col, text_col, n_hashes, bands, shingle_k, shingle_mode
-    )
+    if shingle_mode == "word" and not df.isStreaming:
+        exploded = minhash_banded_keys_arrow(
+            df, id_col, text_col, n_hashes, bands, shingle_k
+        )
+    else:
+        exploded = minhash_banded_keys(
+            df, id_col, text_col, n_hashes, bands, shingle_k, shingle_mode
+        )
     return _window_capped_pairs(exploded, ["band", "key"], bucket_cap, observation)
 
 
@@ -444,13 +551,43 @@ def jaccard_verify_candidates(
     # the SQL oracle computes the identical sets)
     # materialized once: `sh` feeds both join sides (a and b) — without the
     # checkpoint the semi-join + shingle-hash pass over candidate docs runs
-    # twice
-    sh = _materialize(
-        with_shingle_hashes(pruned, text_col, shingle_k, shingle_mode).select(
-            F.col(id_col).alias("id"),
-            F.array_distinct("__shingle_hashes").alias("sh"),
+    # twice. Word mode on batch frames uses the numpy window hasher (same
+    # values as the expression path; set-distinct order differs, which
+    # array_intersect/array_union sizes never observe).
+    if shingle_mode == "word" and not pruned.isStreaming:
+        import pyarrow as pa
+
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def hash_sets(batches):
+            word_cache: dict = {}
+            for b in batches:
+                ids = b.column(0).to_pylist()
+                sets = [
+                    np.unique(
+                        _np_word_window_hashes(s, shingle_k, word_cache)
+                    ).astype(np.int64)
+                    for s in b.column(1).to_pylist()
+                ]
+                yield pa.record_batch(
+                    [pa.array(ids), pa.array(sets, pa.list_(pa.int64()))],
+                    names=["id", "sh"],
+                )
+
+        sh = _materialize(
+            pruned.select(F.col(id_col), F.col(text_col)).mapInArrow(
+                hash_sets, schema=f"id {id_type}, sh array<bigint>"
+            )
         )
-    )
+    else:
+        sh = _materialize(
+            with_shingle_hashes(
+                pruned, text_col, shingle_k, shingle_mode
+            ).select(
+                F.col(id_col).alias("id"),
+                F.array_distinct("__shingle_hashes").alias("sh"),
+            )
+        )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = cands.join(a, "id_a").join(b, "id_b")
@@ -537,6 +674,82 @@ def _simhash_majority(hash_arrays: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _simhash_from_token_lists(token_hash_lists: list) -> np.ndarray:
+    """Bit-majority SimHash for a list of per-doc token-hash sequences
+    (None/empty -> 0) — the shared numpy core of the pandas-UDF path and
+    the mapInArrow fast path: one concatenated vector, 60 reduceat passes."""
+    n_rows = len(token_hash_lists)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if n_rows == 0:
+        return out
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in token_hash_lists),
+        dtype=np.int64, count=n_rows,
+    )
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.uint64)
+         for a, keep in zip(token_hash_lists, nz) if keep]
+    )
+    nz_lens = lens[nz]
+    offs = np.zeros(len(nz_lens), dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=offs[1:])
+    sig = np.zeros(len(nz_lens), dtype=np.uint64)
+    for b in range(HASH_BITS):
+        ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), offs)
+        sig |= ((ones * 2 >= nz_lens).astype(np.uint64)) << np.uint64(b)
+    out[nz] = sig.astype(np.int64)
+    return out
+
+
+def simhash_ids_arrow(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Batch fast path producing (id, simhash): tokenization + md5 token
+    hashing + bit-majority all inside ONE mapInArrow (guide §4.2), with a
+    per-task word-hash memo — replacing a per-token md5 Catalyst expression
+    tree AND a second Python crossing for the pandas-UDF majority. Values
+    bit-identical to with_simhash (parity-pinned by
+    tests/test_ops.py::test_simhash_arrow_matches_expression_path)."""
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def sim(batches):
+        md5 = hashlib.md5
+        cache: dict = {}
+
+        def _h(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                if len(cache) < 1_000_000:
+                    cache[t] = v
+            return v
+
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            token_lists = []
+            for s in b.column(1).to_pylist():
+                trimmed = (s or "").strip(" ")
+                if not trimmed:
+                    token_lists.append(None)
+                else:
+                    token_lists.append(
+                        [_h(t) for t in _WS_SPLIT.split(trimmed)]
+                    )
+            sig = _simhash_from_token_lists(token_lists)
+            yield pa.record_batch(
+                [pa.array(ids), pa.array(sig, pa.int64())],
+                names=["id", "simhash"],
+            )
+
+    return src.mapInArrow(sim, schema=f"id {id_type}, simhash long")
+
+
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``simhash: bigint`` (60-bit; see token_hashes_col/_simhash_majority)."""
     return df.withColumn("simhash", _simhash_majority(token_hashes_col(F.col(text_col))))
@@ -554,12 +767,17 @@ def simhash_near_dups(
     pair within hamming<=3 shares at least one of 4 chunks), verify hamming.
     Buckets capped at ``bucket_cap`` (lowest ids win, drops observable)."""
     # Materialize the signatures ONCE: `s` feeds THREE consumers (the
-    # bucket explode + both verify-join sides), and the pandas-UDF simhash
-    # pass over every document would otherwise run three times. (id,
-    # simhash) is two longs per doc — the checkpoint is ~free.
-    s = _materialize(with_simhash(df, text_col).select(
-        F.col(id_col).alias("id"), "simhash"
-    ))
+    # bucket explode + both verify-join sides), and the simhash pass over
+    # every document would otherwise run three times. (id, simhash) is two
+    # longs per doc — the checkpoint is ~free. Batch frames use the
+    # single-crossing mapInArrow hasher; streaming keeps the expression +
+    # pandas-UDF form.
+    if df.isStreaming:
+        s = with_simhash(df, text_col).select(
+            F.col(id_col).alias("id"), "simhash"
+        )
+    else:
+        s = _materialize(simhash_ids_arrow(df, id_col, text_col))
     chunk = F.array(
         *[
             F.struct(

@@ -343,6 +343,67 @@ def test_dup_span_counts_unicode_codepoint_windows(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_minhash_arrow_matches_expression_path(spark):
+    """r7 internals pin: the mapInArrow signature/band-key fast path must be
+    BIT-IDENTICAL to the Column-expression path (which streaming and the SQL
+    oracle still use) — across empty text, whitespace-only (tabs/newlines,
+    which Spark trim does NOT strip), unicode, fewer-words-than-window docs,
+    and multi-space runs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "\t\n \t"),
+        (4, "один два три"),
+        (5, "short doc"),
+        (6, "  doubled  spaces   here and trailing  "),
+        (7, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {(r["id"], r["band"]): r["key"] for r in
+            dedup.minhash_banded_keys(df, "doc_id", "text", 16, 4, 5,
+                                      "word").collect()}
+    arrow = {(r["id"], r["band"]): r["key"] for r in
+             dedup.minhash_banded_keys_arrow(df, "doc_id", "text", 16, 4,
+                                             5).collect()}
+    assert expr == arrow
+    # the verify-stage hash SETS must agree too (order-insensitive)
+    sh_expr = {
+        r["id"]: sorted(r["sh"]) for r in dedup.with_shingle_hashes(
+            df, "text", 5, "word"
+        ).select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct("__shingle_hashes").alias("sh"),
+        ).collect()
+    }
+    sh_np = {
+        r: sorted(int(v) for v in
+                  __import__("numpy").unique(
+                      dedup._np_word_window_hashes(t, 5)))
+        for r, t in rows
+    }
+    assert sh_expr == sh_np
+
+
+def test_simhash_arrow_matches_expression_path(spark):
+    """r7 internals pin: simhash_ids_arrow (one mapInArrow crossing) must be
+    bit-identical to with_simhash (expression tokenizer + pandas-UDF
+    majority) across empty/whitespace/unicode/null-ish edge docs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "\t\n \t"),
+        (4, "один два три"),
+        (5, "repeat repeat repeat repeat"),
+        (6, "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {r["doc_id"]: r["simhash"]
+            for r in dedup.with_simhash(df).collect()}
+    arrow = {r["id"]: r["simhash"]
+             for r in dedup.simhash_ids_arrow(df, "doc_id").collect()}
+    assert expr == arrow
+
+
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     pairs = dedup.minhash_lsh_pairs(
         dup_docs, "doc_id", n_hashes=16, bands=8, threshold=0.5
