@@ -416,11 +416,23 @@ def _dup_text_groups(spark, sf_dir):
     return exact_dup_groups(docs, "doc_id")
 
 
+def _query_vec0(sf_dir: str) -> list:
+    """The vec_id=0 query embedding, read driver-side with pyarrow: one
+    row from a local parquet file does not need a Spark job (the old
+    filter+collect cost a full scan job per embedding query)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    return t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py()
+
+
 def _embedding_topk(spark, sf_dir):
     from cuda_float_compress_spark.operators.similarity import cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = _query_vec0(sf_dir)
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10).select(
         "vec_id", F.round("cosine", 3).alias("cos3")
     )
@@ -617,7 +629,7 @@ def _ann_lsh_topk(spark, sf_dir):
     from cuda_float_compress_spark.operators.similarity import ann_lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = _query_vec0(sf_dir)
     return ann_lsh_topk(emb, list(qv), k=10, n_planes=6).select(
         "vec_id", F.round("cosine", 3).alias("cos3")
     )
@@ -631,7 +643,7 @@ def _ivf_topk(spark, sf_dir):
     from cuda_float_compress_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = _query_vec0(sf_dir)
     return ivf_topk(emb, list(qv), k=10, n_lists=16, nprobe=4).select(
         "vec_id", F.round("cosine", 3).alias("cos3")
     )

@@ -46,7 +46,7 @@ _STD_ARROW = {
 }
 
 
-def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
+def _repair_if_needed(out_dir: str) -> None:
     import os
 
     if not os.path.exists(f"{out_dir}/blocks") and os.path.exists(
@@ -57,12 +57,154 @@ def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
         from cuda_float_compress_spark.operators.maintain import repair_vacuum
 
         repair_vacuum(out_dir)
+
+
+def blocks_of(spark: SparkSession, out_dir: str) -> DataFrame:
+    _repair_if_needed(out_dir)
     # mergeSchema: appends across engine versions mix block layouts in one
     # dir (bloom + vsum columns added r6); the default single-footer schema
     # sample could silently drop — or fail on — the newer columns
     return spark.read.option("mergeSchema", "true").parquet(
         f"{out_dir}/blocks"
     )
+
+
+# --- driver-side metadata fast path (r7 optimization) -----------------------
+#
+# Reading table METADATA (lineage commit pairs, the union column schema)
+# through Spark costs 2-4 driver-blocking jobs (~0.2-0.4 s each: schema
+# inference + collect) before any payload work starts — measured ~1.1 s of
+# pure setup per decode at bench scale. The rows involved are metadata-scale
+# (one lineage row per part per run; one (col, ptype) row per column per
+# block file), so up to _META_FILE_CAP files they are read driver-side with
+# pyarrow — the same local-vs-Spark split the encode path already uses for
+# its manifest build (direct.py: <=256 block files => driver-side pyarrow).
+# Beyond the cap, or on any read error, every caller falls back to the
+# original Spark jobs — behavior is identical, only the transport changes.
+
+_META_FILE_CAP = 1024
+_META_FALLBACK = object()  # sentinel: metadata too large/remote for driver
+
+
+def _local_files(path: str, cap: int = _META_FILE_CAP) -> list[str] | None:
+    import glob as _glob
+    import os
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files or len(files) > cap:
+        return None
+    return files
+
+
+def _lineage_rows_local(out_dir: str):
+    """[(part_id, run_id, status, finished_at)] via driver-side pyarrow;
+    None when the table has no lineage dir (externally assembled blocks —
+    trusted as-is, matching committed_blocks); _META_FALLBACK when the
+    lineage is too large for a driver read or unreadable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lin_dir = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(lin_dir):
+        return None
+    files = _local_files(lin_dir)
+    if files is None:
+        return _META_FALLBACK
+    rows = []
+    try:
+        for f in files:
+            t = pq.ParquetFile(f, memory_map=True, buffer_size=0).read(
+                columns=["part_id", "run_id", "status", "finished_at"],
+                use_threads=False,
+            )
+            rows.extend(zip(
+                t.column("part_id").to_pylist(),
+                t.column("run_id").to_pylist(),
+                t.column("status").to_pylist(),
+                t.column("finished_at").to_pylist(),
+            ))
+    except Exception:
+        return _META_FALLBACK
+    return rows
+
+
+def _committed_pairs(lineage_rows, as_of=None, since=None) -> set:
+    """Committed (part_id, run_id) pairs with the optional time window —
+    the Python twin of committed_blocks' lineage filter + ambiguity check
+    (same refusal: two committed runs on one part would double rows)."""
+    pairs = set()
+    for p, r, s, ft in lineage_rows:
+        if s != "done":
+            continue
+        if as_of is not None and not (ft is not None and ft <= float(as_of)):
+            continue
+        if since is not None and not (ft is not None and ft > float(since)):
+            continue
+        pairs.add((p, r))
+    per_part: dict = {}
+    for p, r in pairs:
+        prev = per_part.setdefault(p, r)
+        if prev != r:
+            raise ValueError(
+                f"part {p} was committed by 2 different runs — the table "
+                "is ambiguous (two encodes appended to one dir?); "
+                "vacuum/rebuild it"
+            )
+    return pairs
+
+
+def _apply_union_schema(ordered: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """The union-schema merge over DISTINCT (col, ptype) rows in first-seen
+    column order — shared by the Spark and pyarrow metadata paths (see
+    table_columns for the evolution/conflict rules)."""
+    out: list[tuple[str, str]] = []
+    seen: dict[str, str] = {}
+    for col, ptype in ordered:
+        prev = seen.get(col)
+        if prev is None:
+            seen[col] = ptype
+            out.append((col, ptype))
+        elif prev != ptype:
+            if {prev, ptype} == {"timestamp_us", "timestamp_ntz"}:
+                # benign mix: both store int64 UTC micros (see table_columns)
+                seen[col] = "timestamp_us"
+                out[[c for c, _ in out].index(col)] = (col, "timestamp_us")
+                continue
+            raise ValueError(
+                f"column {col!r} was appended with conflicting types "
+                f"{prev!r} and {ptype!r}; re-encode the offending run"
+            )
+    return out
+
+
+def table_columns_local(files: list[str], committed: set | None):
+    """table_columns computed driver-side from the block files' metadata
+    columns (payloads never touched — parquet column projection). Rows
+    from uncommitted runs are excluded when ``committed`` is given, exactly
+    like the Spark path over committed_blocks. Returns _META_FALLBACK on
+    any read error."""
+    import pyarrow.parquet as pq
+
+    trips: set = set()
+    try:
+        for f in files:
+            t = pq.ParquetFile(f, memory_map=True, buffer_size=0).read(
+                columns=["part_id", "run_id", "col", "col_idx", "ptype"],
+                use_threads=False,
+            )
+            parts = t.column("part_id").to_pylist()
+            runs = t.column("run_id").to_pylist()
+            cols = t.column("col").to_pylist()
+            idxs = t.column("col_idx").to_pylist()
+            pts = t.column("ptype").to_pylist()
+            for i in range(t.num_rows):
+                if committed is not None and (parts[i], runs[i]) not in committed:
+                    continue
+                trips.add((idxs[i], cols[i], pts[i]))
+    except Exception:
+        return _META_FALLBACK
+    return _apply_union_schema([(c, p) for _, c, p in sorted(trips)])
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -102,6 +244,20 @@ def committed_blocks(
     appended-since-then slice (CDC-style over the append-only table);
     ``since=t1, as_of=t2`` brackets a window."""
     blocks = blocks_of(spark, out_dir)
+    # fast path: lineage is metadata-scale — read it driver-side with
+    # pyarrow (no Spark jobs) and ship the committed pairs as a literal
+    # broadcast frame; semantics identical to the Spark read below
+    lrows = _lineage_rows_local(out_dir)
+    if lrows is None:
+        return blocks
+    if lrows is not _META_FALLBACK:
+        pairs = _committed_pairs(lrows, as_of=as_of, since=since)
+        lin = spark.createDataFrame(
+            sorted(pairs), "part_id int, run_id string"
+        )
+        return blocks.join(
+            F.broadcast(lin), ["part_id", "run_id"], "left_semi"
+        )
     try:
         lin = spark.read.parquet(f"{out_dir}/lineage").filter(
             F.col("status") == "done"
@@ -144,33 +300,14 @@ def table_columns(blocks: DataFrame) -> list[tuple[str, str]]:
         blocks.select("col", "col_idx", "ptype").distinct()
         .orderBy("col_idx", "col").collect()
     )
-    out: list[tuple[str, str]] = []
-    seen: dict[str, str] = {}
-    for r in rows:
-        prev = seen.get(r["col"])
-        if prev is None:
-            seen[r["col"]] = r["ptype"]
-            out.append((r["col"], r["ptype"]))
-        elif prev != r["ptype"]:
-            if {prev, r["ptype"]} == {"timestamp_us", "timestamp_ntz"}:
-                # benign mix: both store int64 UTC micros. Spark writes
-                # TimestampType as parquet INT96, which pyarrow reads
-                # tz-NAIVE, so the direct-read path classifies the same
-                # column ntz while the DataFrame path (tz-aware Arrow
-                # batches) classifies it us — e.g. a merge_rows append
-                # onto a directly-encoded table. Coalesce to the tz-aware
-                # type: INT96 is UTC-adjusted by spec, so the instants
-                # are identical either way.
-                seen[r["col"]] = "timestamp_us"
-                out[[c for c, _ in out].index(r["col"])] = (
-                    r["col"], "timestamp_us"
-                )
-                continue
-            raise ValueError(
-                f"column {r['col']!r} was appended with conflicting types "
-                f"{prev!r} and {r['ptype']!r}; re-encode the offending run"
-            )
-    return out
+    # note on the timestamp_us/timestamp_ntz coalesce inside
+    # _apply_union_schema: Spark writes TimestampType as parquet INT96,
+    # which pyarrow reads tz-NAIVE, so the direct-read path classifies the
+    # same column ntz while the DataFrame path (tz-aware Arrow batches)
+    # classifies it us — e.g. a merge_rows append onto a directly-encoded
+    # table. INT96 is UTC-adjusted by spec, so the instants are identical
+    # either way; the union coalesces to the tz-aware type.
+    return _apply_union_schema([(r["col"], r["ptype"]) for r in rows])
 
 
 _TS_PTYPES = ("timestamp_us", "timestamp_ntz")
@@ -459,7 +596,24 @@ def decode_table(
     blocks = committed_blocks(spark, out_dir, as_of=as_of, since=since)
     if parts is not None:
         blocks = blocks.filter(F.col("part_id").isin([int(p) for p in parts]))
-    cols = table_columns(blocks)
+    # schema via the driver-side pyarrow fast path when it can mirror the
+    # Spark collect exactly: full-table reads (no parts subset) with the
+    # committed set scoped by the same as_of/since window
+    cols = None
+    if parts is None:
+        blk_files = _local_files(f"{out_dir}/blocks")
+        if blk_files is not None:
+            lrows = _lineage_rows_local(out_dir)
+            if lrows is not _META_FALLBACK:
+                scoped = (
+                    _committed_pairs(lrows, as_of=as_of, since=since)
+                    if lrows is not None else None
+                )
+                got = table_columns_local(blk_files, scoped)
+                if got is not _META_FALLBACK:
+                    cols = got
+    if cols is None:
+        cols = table_columns(blocks)
     if predicates:
         # level 1: whole-part pruning from the manifest rollups
         keep_parts = qualifying_parts(spark, out_dir, predicates)

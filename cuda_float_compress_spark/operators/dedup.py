@@ -961,7 +961,9 @@ def embedding_neardup_pairs(
             observation,
             F.sum((F.col("rn") > bucket_cap).cast("long")).alias("dropped_members"),
         )
-    kept = ranked.filter(F.col("rn") <= bucket_cap).drop("rn")
+    # materialized once: `kept` feeds both self-join branches — without it
+    # the hyperplane-bucket pandas UDF + window run twice
+    kept = _materialize(ranked.filter(F.col("rn") <= bucket_cap).drop("rn"))
     a = kept.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = kept.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

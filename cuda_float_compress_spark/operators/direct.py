@@ -101,27 +101,61 @@ def decode_table_direct(spark: SparkSession, out_dir: str,
         qualifying_chunks,
     )
 
-    from cuda_float_compress_spark.operators.decode import committed_blocks
+    from cuda_float_compress_spark.operators.decode import (
+        _META_FALLBACK,
+        _committed_pairs,
+        _lineage_rows_local,
+        _local_files,
+        _repair_if_needed,
+        committed_blocks,
+        table_columns_local,
+    )
 
-    blocks = committed_blocks(spark, out_dir)
-    cols = table_columns(blocks)
+    # metadata setup (schema + committed pairs) via driver-side pyarrow
+    # when the table's metadata is local and file-count-bounded — the Spark
+    # metadata jobs this replaces cost ~1.1 s of pure driver setup per
+    # decode at bench scale (see decode.py fast-path note). Falls back to
+    # the original Spark jobs for big/remote tables or on any read error.
+    _repair_if_needed(out_dir)
+    blocks = None  # the Spark blocks frame — only needed for pruning below
+    cols = None
+    committed: set | None = None
+    blk_files = _local_files(f"{out_dir}/blocks")
+    lrows = _lineage_rows_local(out_dir) if blk_files is not None else _META_FALLBACK
+    if blk_files is not None and lrows is not _META_FALLBACK:
+        # schema = union over ALL committed runs (no time scoping — parity
+        # with the Spark path, which derives it from committed_blocks
+        # without as_of); the trust set IS time-scoped
+        pairs_all = _committed_pairs(lrows) if lrows is not None else None
+        cols = table_columns_local(blk_files, pairs_all)
+        if cols is not _META_FALLBACK and lrows is not None:
+            committed = (
+                pairs_all if (as_of is None and since is None)
+                else _committed_pairs(lrows, as_of=as_of, since=since)
+            )
+    if cols is None or cols is _META_FALLBACK:
+        blocks = committed_blocks(spark, out_dir)
+        cols = table_columns(blocks)
+        # committed (part_id, run_id) pairs: workers read block files
+        # directly with pyarrow, so the lineage trust filter ships as a
+        # closure set (metadata-scale — one entry per part per run)
+        try:
+            lin = spark.read.parquet(f"{out_dir}/lineage").filter(
+                F.col("status") == "done"
+            )
+            if as_of is not None:
+                lin = lin.filter(F.col("finished_at") <= float(as_of))
+            if since is not None:
+                lin = lin.filter(F.col("finished_at") > float(since))
+            lin_rows = lin.select("part_id", "run_id").distinct().collect()
+            committed = {(r["part_id"], r["run_id"]) for r in lin_rows}
+        except Exception:
+            committed = None
     all_ptypes = dict(cols)
-    # committed (part_id, run_id) pairs: workers read block files directly
-    # with pyarrow, so the lineage trust filter ships as a closure set
-    # (metadata-scale — one entry per part per run)
-    try:
-        lin = spark.read.parquet(f"{out_dir}/lineage").filter(
-            F.col("status") == "done"
-        )
-        if as_of is not None:
-            lin = lin.filter(F.col("finished_at") <= float(as_of))
-        if since is not None:
-            lin = lin.filter(F.col("finished_at") > float(since))
-        lin_rows = lin.select("part_id", "run_id").distinct().collect()
-        committed: set[tuple] | None = {(r["part_id"], r["run_id"]) for r in lin_rows}
-    except Exception:
-        committed = None
     keep_keys: set[int] | None = None
+    if predicates or any_of:
+        if blocks is None:
+            blocks = committed_blocks(spark, out_dir)
     if predicates:
         from cuda_float_compress_spark.operators.decode import (
             qualifying_parts,
