@@ -503,7 +503,8 @@ def _manifest_rows_driver_side(blk_files: list[str],
 
 
 def _commit_metadata_driver_side(out_dir: str, man_rows: list[dict],
-                                 run_id: str) -> None:
+                                 run_id: str,
+                                 salts: dict | None = None) -> None:
     """Manifest + lineage appends for a direct-encode run, written
     driver-side with pyarrow instead of two Spark write jobs: the rows are
     metadata-scale (parts x cols), and each Spark job carries ~0.5 s of
@@ -540,7 +541,7 @@ def _commit_metadata_driver_side(out_dir: str, man_rows: list[dict],
         "run_id": [run_id] * len(per_part),
         "status": ["done"] * len(per_part),
         "finished_at": [now] * len(per_part),
-        "salts_json": [json.dumps({})] * len(per_part),
+        "salts_json": [json.dumps(salts or {})] * len(per_part),
     }
     _atomic_parquet_append(
         f"{out_dir}/lineage",

@@ -440,32 +440,55 @@ def encode_table(
 
     with metrics.stage("manifest"):
         # aggregate ONLY this run's blocks: stale partials from a crashed
-        # earlier run (blocks written, lineage missing) must not double-count
-        written = spark.read.parquet(f"{out_dir}/blocks").filter(
-            F.col("run_id") == run_id
-        )
-        manifest = build_manifest(written, run_id)
-        manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+        # earlier run (blocks written, lineage missing) must not double-count.
+        # r7: like the direct path, metadata-scale dirs (<= 256 block files)
+        # build manifest + lineage driver-side with pyarrow — the Spark
+        # read-back/groupBy/write chain here was ~4 driver-blocking jobs
+        # (~0.7 s) per encode. Falls back to the Spark jobs on any error or
+        # beyond the file cap (lazy import: direct.py imports this module).
+        import glob as _glob
 
-        # lineage derives from the (tiny) manifest — one blocks scan total,
-        # and that scan is column-pruned (payload never read back)
-        manifest_rows = spark.read.parquet(f"{out_dir}/manifest").filter(
-            F.col("run_id") == run_id
-        )
-        lineage = (
-            manifest_rows.groupBy("part_id")
-            .agg(
-                F.max("n_chunks").alias("n_chunks"),
-                F.max("n_values").alias("n_rows"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
+        from cuda_float_compress_spark.operators import direct as _direct
+
+        blk_files = _glob.glob(f"{out_dir}/blocks/*.parquet")
+        man_rows = None
+        if len(blk_files) <= 256:
+            try:
+                man_rows = _direct._manifest_rows_driver_side(
+                    blk_files, run_id
+                )
+            except Exception:
+                man_rows = None
+        if man_rows is not None:
+            _direct._commit_metadata_driver_side(
+                out_dir, man_rows, run_id, salts=salts
             )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("status", F.lit("done"))
-            .withColumn("finished_at", F.lit(time.time()))
-            .withColumn("salts_json", F.lit(json.dumps(salts)))
-        )
-        lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+        else:
+            written = spark.read.parquet(f"{out_dir}/blocks").filter(
+                F.col("run_id") == run_id
+            )
+            manifest = build_manifest(written, run_id)
+            manifest.write.mode("append").parquet(f"{out_dir}/manifest")
+
+            # lineage derives from the (tiny) manifest — one blocks scan
+            # total, and that scan is column-pruned (payload never read back)
+            manifest_rows = spark.read.parquet(f"{out_dir}/manifest").filter(
+                F.col("run_id") == run_id
+            )
+            lineage = (
+                manifest_rows.groupBy("part_id")
+                .agg(
+                    F.max("n_chunks").alias("n_chunks"),
+                    F.max("n_values").alias("n_rows"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("enc_bytes").alias("enc_bytes"),
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("status", F.lit("done"))
+                .withColumn("finished_at", F.lit(time.time()))
+                .withColumn("salts_json", F.lit(json.dumps(salts)))
+            )
+            lineage.write.mode("append").parquet(f"{out_dir}/lineage")
 
     snap = metrics.snapshot()
     snap["run_id"] = run_id
