@@ -51,16 +51,24 @@ def test_clean_corpus_cheap_predicates_first(spark):
     """The corpus-assembly endpoint's one Filter node must evaluate the
     cheap punct/length predicates BEFORE the 6-regex language-ID cascade
     (And evaluates left-to-right; at 100 TB the ordering is most of the
-    query's cost), and the dedup keep-list must join as a broadcast
-    semi-join, not a shuffle."""
+    query's cost). r7 shape: the dedup keep-rule is ONE window over the
+    filter survivors — a single scan and a single exchange, no join (the
+    old groupBy + broadcast-semi-join scanned the table twice)."""
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()["clean_corpus"](spark, SF)
     plan = _plan(q)
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    filt = plan[plan.index("Filter") :]
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    # the SCAN-side filter (the last Filter node) carries the predicate
+    # chain; the keep-rule filter above the window has no regexes
+    filt = plan[plan.rindex("Filter (") :]
     i_cheap = max(filt.index("<= 0.2"), filt.index(">= 100"))
-    i_lang = filt.index("regexp_extract_all")
+    # the language-ID cascade compiles to the array_max argmax over the six
+    # marker-regex structs (punct_ratio itself uses one regexp_count, so a
+    # bare regex marker would false-positive on the cheap predicate)
+    i_lang = filt.index("array_max")
     assert i_cheap < i_lang, filt[:400]
 
 
