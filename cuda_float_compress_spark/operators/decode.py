@@ -250,7 +250,10 @@ def committed_blocks(
     lrows = _lineage_rows_local(out_dir)
     if lrows is None:
         return blocks
-    if lrows is not _META_FALLBACK:
+    # the literal-frame shortcut is for metadata-SCALE commit sets; a
+    # million-part table (one big lineage file still passes the file-count
+    # gate) would pay a slow driver->JVM pickle here — use the Spark read
+    if lrows is not _META_FALLBACK and len(lrows) <= 100_000:
         pairs = _committed_pairs(lrows, as_of=as_of, since=since)
         lin = spark.createDataFrame(
             sorted(pairs), "part_id int, run_id string"
