@@ -105,6 +105,11 @@ def _lineage_rows_local(out_dir: str):
 
     import pyarrow.parquet as pq
 
+    if "://" in str(out_dir) or str(out_dir).startswith("file:"):
+        # hdfs://, s3a://, file:/...: os.path/glob cannot see the dir — a
+        # bare isdir()==False here must mean FALLBACK (Spark read), never
+        # "table has no lineage, trust every block"
+        return _META_FALLBACK
     lin_dir = os.path.join(out_dir, "lineage")
     if not os.path.isdir(lin_dir):
         return None

@@ -51,6 +51,15 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True) if EAGER_MATERIALIZE else df
 
 
+def _arrow_id_type(df: DataFrame, id_col: str):
+    """Arrow type matching the Spark id column — the mapInArrow fast paths
+    must emit EXACTLY the declared schema type (pa.array's int64 inference
+    crashes the JVM reader on e.g. IntegerType ids)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(df.schema[id_col].dataType)
+
+
 def hash60_col(c: Column) -> Column:
     """60-bit md5-derived hash of a string column (JVM-side, portable)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -165,14 +174,16 @@ def dup_span_counts(
     old Catalyst chain (per-codepoint split + 19 slice/array_join allocs +
     md5 expression per window) produced at ~28 us/window; the Python-slice
     path measures ~2 us/window and is O(doc) not O(doc^2) on 100 KB pages.
-    Windows are deduplicated PER DOC inside the task (a Python set), so
-    (id, h) is globally distinct by construction — the global .distinct()
-    shuffle disappears and dup_h needs count(*), not count_distinct."""
+    Windows are deduplicated PER DOC inside the task (a Python set); a
+    cheap global dropDuplicates (near-no-op partial aggregate when ids are
+    unique) keeps duplicate-id INPUT rows from inflating counts, so dup_h
+    needs count(*), not count_distinct."""
     import hashlib
 
     import pyarrow as pa
 
     id_type = df.schema[id_col].dataType.simpleString()
+    id_arrow = _arrow_id_type(df, id_col)
     filtered = df.filter(F.length(F.col(text_col)) >= gram_len).select(
         F.col(id_col), F.col(text_col).alias("__t")
     )
@@ -192,20 +203,21 @@ def dup_span_counts(
                 out_ids.extend([rid] * len(hs))
                 out_h.extend(hs)
             yield pa.record_batch(
-                [pa.array(out_ids), pa.array(out_h, pa.int64())],
+                [pa.array(out_ids, type=id_arrow),
+                 pa.array(out_h, pa.int64())],
                 names=["id", "h"],
             )
 
     grams = filtered.mapInArrow(
         win_hashes, schema=f"id {id_type}, h long"
-    ).withColumnRenamed("id", id_col)
+    ).withColumnRenamed("id", id_col).dropDuplicates([id_col, "h"])
     # materialized ONCE: `grams` feeds BOTH the dup_h groupBy and the
     # final join — without the checkpoint Spark re-runs the whole window
     # hashing per branch. Same pattern as minhash_lsh_pairs' candidates.
     grams = _materialize(grams)
     dup_h = (
         grams.groupBy("h")
-        .agg(F.count("*").alias("nd"))  # (id, h) distinct by construction
+        .agg(F.count("*").alias("nd"))  # (id, h) globally distinct above
         .filter(F.col("nd") >= 2)
         .select("h")
     )
@@ -437,11 +449,16 @@ def minhash_banded_keys_arrow(
     )
     rows_per_band = n_hashes // bands
     id_type = df.schema[id_col].dataType.simpleString()
+    id_arrow = _arrow_id_type(df, id_col)
     src = df.select(F.col(id_col), F.col(text_col))
 
     def band_keys(batches):
         md5 = hashlib.md5
         band_ids = list(range(bands))
+        # NULL text in the expression path: the whole signature array is
+        # NULL, and concat_ws skips the NULL transform result, so every
+        # band key is md5 of the empty string — mirror that exactly
+        null_key = md5(b"").hexdigest()
         word_cache: dict = {}
         for b in batches:
             out_ids: list = []
@@ -449,6 +466,12 @@ def minhash_banded_keys_arrow(
             out_key: list = []
             for rid, s in zip(b.column(0).to_pylist(),
                               b.column(1).to_pylist()):
+                if s is None:
+                    for bi in band_ids:
+                        out_ids.append(rid)
+                        out_band.append(bi)
+                        out_key.append(null_key)
+                    continue
                 win = _np_word_window_hashes(s, shingle_k, word_cache)
                 sig = (win[:, None] ^ perms[None, :]).min(axis=0)
                 for bi in band_ids:
@@ -460,7 +483,8 @@ def minhash_banded_keys_arrow(
                     out_band.append(bi)
                     out_key.append(key)
             yield pa.record_batch(
-                [pa.array(out_ids), pa.array(out_band, pa.int32()),
+                [pa.array(out_ids, type=id_arrow),
+                 pa.array(out_band, pa.int32()),
                  pa.array(out_key, pa.string())],
                 names=["id", "band", "key"],
             )
@@ -558,19 +582,24 @@ def jaccard_verify_candidates(
         import pyarrow as pa
 
         id_type = df.schema[id_col].dataType.simpleString()
+        id_arrow = _arrow_id_type(df, id_col)
 
         def hash_sets(batches):
             word_cache: dict = {}
             for b in batches:
                 ids = b.column(0).to_pylist()
+                # NULL text -> NULL set (array_distinct(NULL) is NULL in
+                # the expression path; the jaccard then nulls out and the
+                # threshold filter drops the pair — identical behavior)
                 sets = [
-                    np.unique(
+                    None if s is None else np.unique(
                         _np_word_window_hashes(s, shingle_k, word_cache)
                     ).astype(np.int64)
                     for s in b.column(1).to_pylist()
                 ]
                 yield pa.record_batch(
-                    [pa.array(ids), pa.array(sets, pa.list_(pa.int64()))],
+                    [pa.array(ids, type=id_arrow),
+                     pa.array(sets, pa.list_(pa.int64()))],
                     names=["id", "sh"],
                 )
 
@@ -648,30 +677,9 @@ def _simhash_majority(hash_arrays: pd.Series) -> pd.Series:
     """Bit-majority over per-document token-hash arrays -> 60-bit SimHash.
     Vectorized: one concatenated token-hash vector per Arrow batch, then 60
     shift-mask-reduceat passes (no per-row or per-byte Python — the fix for
-    the round-1 per-byte FNV loop)."""
-    n_rows = len(hash_arrays)
-    out = np.zeros(n_rows, dtype=np.int64)
-    if n_rows == 0:
-        return pd.Series(out)
-    lens = np.fromiter(
-        (0 if a is None else len(a) for a in hash_arrays),
-        dtype=np.int64, count=n_rows,
-    )
-    nz = lens > 0
-    if not nz.any():
-        return pd.Series(out)
-    flat = np.concatenate(
-        [np.asarray(a, dtype=np.int64) for a, keep in zip(hash_arrays, nz) if keep]
-    ).astype(np.int64, copy=False).view(np.uint64)
-    nz_lens = lens[nz]
-    offs = np.zeros(len(nz_lens), dtype=np.int64)
-    np.cumsum(nz_lens[:-1], out=offs[1:])
-    sig = np.zeros(len(nz_lens), dtype=np.uint64)
-    for b in range(HASH_BITS):
-        ones = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), offs)
-        sig |= ((ones * 2 >= nz_lens).astype(np.uint64)) << np.uint64(b)
-    out[nz] = sig.astype(np.int64)
-    return pd.Series(out)
+    the round-1 per-byte FNV loop). Delegates to the shared numpy core so
+    the pandas-UDF and mapInArrow paths cannot drift."""
+    return pd.Series(_simhash_from_token_lists(list(hash_arrays)))
 
 
 def _simhash_from_token_lists(token_hash_lists: list) -> np.ndarray:
@@ -716,6 +724,7 @@ def simhash_ids_arrow(
     import pyarrow as pa
 
     id_type = df.schema[id_col].dataType.simpleString()
+    id_arrow = _arrow_id_type(df, id_col)
     src = df.select(F.col(id_col), F.col(text_col))
 
     def sim(batches):
@@ -743,7 +752,7 @@ def simhash_ids_arrow(
                     )
             sig = _simhash_from_token_lists(token_lists)
             yield pa.record_batch(
-                [pa.array(ids), pa.array(sig, pa.int64())],
+                [pa.array(ids, type=id_arrow), pa.array(sig, pa.int64())],
                 names=["id", "simhash"],
             )
 

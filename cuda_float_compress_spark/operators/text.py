@@ -228,10 +228,15 @@ def top_ngram_fractions(df: DataFrame, text_col: str = "text",
     ZERO shuffles — one scan, no exchange at any scale. The previous
     explode -> groupBy(id, gram) -> groupBy(id) -> join shape shuffled
     every gram occurrence twice and re-scanned the table three times for
-    the same per-doc answer. Docs with no words report 0.0 fractions."""
-    words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda s: F.length(s) > 0,
+    the same per-doc answer. Docs with no words — including NULL text —
+    report 0 / 0.0 (the coalesce mirrors the old left-join behavior).
+    One row per INPUT row; callers feed one row per document."""
+    words = F.coalesce(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda s: F.length(s) > 0,
+        ),
+        F.array().cast("array<string>"),
     )
     base = df.select(F.col(id_col), words.alias("_words"))
     n = F.size("_words")

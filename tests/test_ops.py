@@ -77,8 +77,9 @@ def test_top_ngram_fractions_pinned(spark):
             (2, "one"),                      # 1 word, 0 bigrams
             (3, "   "),                      # no words at all
             (4, "A a a b"),                  # lowercased: a:3/4
+            (5, None),                       # NULL text -> 0 / 0.0
         ],
-        ["doc_id", "text"],
+        "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in text.top_ngram_fractions(df).collect()}
     assert got[1]["n_words"] == 6
@@ -88,6 +89,8 @@ def test_top_ngram_fractions_pinned(spark):
     assert got[2]["top_bigram_frac"] == 0.0
     assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
     assert got[4]["top_word_frac"] == 0.75
+    assert got[5]["n_words"] == 0 and got[5]["top_word_frac"] == 0.0
+    assert got[5]["top_bigram_frac"] == 0.0
     # scale shape (r7 optimization): the signal is per-document, so the plan
     # must be a pure per-row projection — ZERO exchanges at any scale (the
     # old explode -> groupBy -> join shape shuffled every gram twice)
@@ -341,6 +344,14 @@ def test_dup_span_counts_unicode_codepoint_windows(spark):
     # only window start 1 samples (len 36 < 1+16+31): docs 1/2 share that
     # 32-codepoint window exactly; doc 3 shares nothing
     assert got == {1: 1, 2: 1}
+    # int ids + duplicate-id input rows: the global (id, h) dedup keeps a
+    # re-ingested doc from counting as its own duplicate
+    base = "x" * 40
+    df2 = spark.createDataFrame(
+        [(1, base), (1, base), (2, "y" * 40)], "doc_id int, text string"
+    )
+    assert dedup.dup_span_counts(df2, "doc_id", "text",
+                                 gram_len=32, stride=16).count() == 0
 
 
 def test_minhash_arrow_matches_expression_path(spark):
@@ -357,8 +368,9 @@ def test_minhash_arrow_matches_expression_path(spark):
         (5, "short doc"),
         (6, "  doubled  spaces   here and trailing  "),
         (7, "a b c d e f g h i j k l m n o p"),
+        (8, None),  # NULL text: expression path yields md5('') band keys
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     expr = {(r["id"], r["band"]): r["key"] for r in
             dedup.minhash_banded_keys(df, "doc_id", "text", 16, 4, 5,
                                       "word").collect()}
@@ -366,9 +378,20 @@ def test_minhash_arrow_matches_expression_path(spark):
              dedup.minhash_banded_keys_arrow(df, "doc_id", "text", 16, 4,
                                              5).collect()}
     assert expr == arrow
+    # non-bigint id columns must flow through the declared Arrow schema
+    # (pa.array would otherwise infer int64 and crash the JVM reader)
+    df_int = df.withColumn("doc_id", F.col("doc_id").cast("int"))
+    arrow_int = {(r["id"], r["band"]): r["key"] for r in
+                 dedup.minhash_banded_keys_arrow(df_int, "doc_id", "text",
+                                                 16, 4, 5).collect()}
+    assert arrow_int == arrow
+    assert dedup.minhash_lsh_pairs(
+        df_int, "doc_id", threshold=0.5, shingle_mode="word"
+    ).count() >= 0  # full chain (candidates + verify) on int ids
     # the verify-stage hash SETS must agree too (order-insensitive)
     sh_expr = {
-        r["id"]: sorted(r["sh"]) for r in dedup.with_shingle_hashes(
+        r["id"]: None if r["sh"] is None else sorted(r["sh"])
+        for r in dedup.with_shingle_hashes(
             df, "text", 5, "word"
         ).select(
             F.col("doc_id").alias("id"),
@@ -376,9 +399,10 @@ def test_minhash_arrow_matches_expression_path(spark):
         ).collect()
     }
     sh_np = {
-        r: sorted(int(v) for v in
-                  __import__("numpy").unique(
-                      dedup._np_word_window_hashes(t, 5)))
+        r: None if t is None else sorted(
+            int(v) for v in __import__("numpy").unique(
+                dedup._np_word_window_hashes(t, 5))
+        )
         for r, t in rows
     }
     assert sh_expr == sh_np
@@ -395,13 +419,19 @@ def test_simhash_arrow_matches_expression_path(spark):
         (4, "один два три"),
         (5, "repeat repeat repeat repeat"),
         (6, "  leading and trailing  "),
+        (7, None),
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     expr = {r["doc_id"]: r["simhash"]
             for r in dedup.with_simhash(df).collect()}
     arrow = {r["id"]: r["simhash"]
              for r in dedup.simhash_ids_arrow(df, "doc_id").collect()}
     assert expr == arrow
+    # int ids flow through the declared Arrow schema
+    df_int = df.withColumn("doc_id", F.col("doc_id").cast("int"))
+    arrow_int = {r["id"]: r["simhash"]
+                 for r in dedup.simhash_ids_arrow(df_int, "doc_id").collect()}
+    assert arrow_int == arrow
 
 
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
