@@ -361,6 +361,23 @@ def _predicate_value(v, ptype: str) -> int:
     return int(v)
 
 
+def _bloom_literal(v, ptype: str):
+    """Bloom filters over int columns hash the DECIMAL TEXT of the values
+    (encode.py builds them from ``str(int)``), while zone maps compare the
+    ``_predicate_value``-normalized number — so a coerced probe literal
+    (``5.0`` against an int column) would hash ``b"5.0"`` vs the build
+    side's ``b"5"`` and yield a false "definitely absent". Coerce integral
+    literals to int before hashing; anything non-coercible probes as-is."""
+    if ptype in ("int64", "int32"):
+        try:
+            iv = int(v)
+            if iv == v:
+                return iv
+        except (TypeError, ValueError):
+            pass
+    return v
+
+
 def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
     """(part_id, chunk_id) keys whose zone-map stats MIGHT satisfy all
     predicates — a metadata-only query (payload column never read). Chunks
@@ -391,7 +408,7 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
             keep = (
                 F.col("vmin").isNull()
                 | ((F.col("vmin") <= v) & (F.col("vmax") >= v))
-            ) & _bloom_maybe(value)
+            ) & _bloom_maybe(_bloom_literal(value, ptype))
         elif op in ("<=", "<"):
             keep = F.col("vmin").isNull() | (F.col("vmin") <= v)
         elif op == "in":
@@ -403,7 +420,7 @@ def qualifying_chunks(blocks: DataFrame, predicates: list[tuple]) -> DataFrame:
                 mv = _predicate_value(member, ptype)
                 any_hit = any_hit | (
                     (F.col("vmin") <= mv) & (F.col("vmax") >= mv)
-                    & _bloom_maybe(member)
+                    & _bloom_maybe(_bloom_literal(member, ptype))
                 )
             keep = F.col("vmin").isNull() | any_hit
         else:

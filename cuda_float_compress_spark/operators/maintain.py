@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cuda_float_compress_spark.codecs import core
 from cuda_float_compress_spark.operators import chunks as C
+from cuda_float_compress_spark.operators.decode import _STD_ARROW
 from cuda_float_compress_spark.operators.encode import (
     _BLOCKS_ARROW,
     BLOCKS_SCHEMA,
@@ -299,12 +300,21 @@ def compact(
         for cid in sorted(per_chunk):
             del_pos = tomb_pos.get(int(cid))
             mask = None
+            # rows in this chunk, from any column present (all block rows
+            # of one chunk share n)
+            chunk_n = int(ns[next(iter(per_chunk[cid].values()))])
             for c in ordered:
-                i = per_chunk[cid][c]
-                arr = C.decode_column_chunk(
-                    payloads[i].as_py(), codecs[i], params[i],
-                    int(ns[i]), int(nnulls[i]), col_ptypes[c],
-                )
+                i = per_chunk[cid].get(c)
+                if i is None:
+                    # schema evolution: chunk predates the column — null
+                    # fill, mirroring decode_table_direct's union-schema
+                    # handling
+                    arr = pa.nulls(chunk_n, _STD_ARROW[col_ptypes[c]])
+                else:
+                    arr = C.decode_column_chunk(
+                        payloads[i].as_py(), codecs[i], params[i],
+                        int(ns[i]), int(nnulls[i]), col_ptypes[c],
+                    )
                 if del_pos:
                     if mask is None:
                         import numpy as np

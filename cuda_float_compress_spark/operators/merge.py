@@ -95,11 +95,11 @@ def merge_rows(
                             with_row_address=True)
         .join(updates.select(key_col).distinct(), key_col, "left_semi")
         .select(*ADDRESS_COLS)
-        # time-scopes the tombstones for as_of snapshot reads; stamped at
-        # staging-write time, which can only predate the rename-publish —
-        # an as_of cut between append-commit and publish therefore reads
-        # the post-merge state (new rows, old versions retired)
-        .withColumn("committed_at", F.lit(_time.time()))
+        # committed_at (the as_of time-scope) is deliberately NOT stamped
+        # here: a staging-time stamp would predate the new run's lineage
+        # commit, and any as_of inside [stamp, encode finished_at) would
+        # apply the tombstones without seeing the replacement rows —
+        # updated keys would vanish from that snapshot. Stamped in step 3.
     )
     addr.write.parquet(staging)
     n_tomb = spark.read.parquet(staging).count()
@@ -116,9 +116,19 @@ def merge_rows(
         part_offset=part_offset, run_id=run_id,
     )
 
-    # 3. atomic tombstone publish: old versions retire in one rename
+    # 3. stamp committed_at now that the new run's lineage is committed
+    #    (time.time() here >= the run's finished_at, so every as_of that
+    #    applies these tombstones also trusts the replacement rows), then
+    #    atomic tombstone publish: old versions retire in one rename
+    stamped = os.path.join(out_dir, "deletes", f"_staging-{run_id}-stamp")
+    (
+        spark.read.parquet(staging)
+        .withColumn("committed_at", F.lit(_time.time()))
+        .write.parquet(stamped)
+    )
     final = os.path.join(out_dir, "deletes", f"run-{run_id}")
-    os.rename(staging, final)
+    os.rename(stamped, final)
+    shutil.rmtree(staging, ignore_errors=True)
     return {
         "run_id": run_id,
         "appended": int(counts["n"]),

@@ -71,6 +71,20 @@ def agg_int_column(
         and "vsum" in blocks.columns
         and tombstones_df(spark, out_dir) is None
     )
+    if meta_ok:
+        # schema evolution: chunks written before the column existed
+        # contribute all-null rows in both decode paths but carry no
+        # stats row for it — the metadata aggregate would silently
+        # undercount n_rows/n_nulls. One metadata-scale probe; decode
+        # when any live chunk lacks coverage.
+        uncovered = (
+            blocks.groupBy("part_id", "chunk_id")
+            .agg(F.max((F.col("col") == col).cast("int")).alias("has"))
+            .filter(F.col("has") == 0)
+            .limit(1)
+            .count()
+        )
+        meta_ok = uncovered == 0
 
     def _decode_agg(chunk_keys=None):
         dec = decode_table_direct(

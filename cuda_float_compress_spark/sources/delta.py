@@ -54,9 +54,43 @@ def _log_versions(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _read_checkpoint(log_dir: str) -> tuple[int, list[dict]] | None:
-    """(checkpoint_version, live add actions) from _last_checkpoint, or
-    None when the table has no checkpoint yet."""
+def _check_protocol(p: dict) -> None:
+    """Reader-protocol gate, applied to EVERY protocol action seen —
+    whether replayed from a JSON commit or recovered from at/before a
+    checkpoint (a checkpointed DV table must refuse, not read silently)."""
+    rv = int(p.get("minReaderVersion", 1))
+    if rv == 3:
+        # table-features era: readable iff every required reader feature
+        # is one we implement
+        feats = set(p.get("readerFeatures") or [])
+        unsupported = feats - {"columnMapping"}
+        if unsupported:
+            raise NotImplementedError(
+                "Delta reader features not supported: "
+                f"{sorted(unsupported)}"
+            )
+    elif rv > 3:
+        raise NotImplementedError(
+            f"Delta minReaderVersion={rv} not supported"
+        )
+    # rv == 2 gates exactly one feature: column mapping — the metaData
+    # configuration decides the mode
+
+
+def _check_add(a: dict) -> dict:
+    """An add entry carrying a live deletion vector must refuse: reading
+    the file without applying the DV resurrects its deleted rows."""
+    if a.get("deletionVector"):
+        raise NotImplementedError(
+            "Delta deletion vectors not supported "
+            f"(add entry {a.get('path')!r} carries one)"
+        )
+    return a
+
+
+def _read_checkpoint(log_dir: str) -> tuple[int, list[dict], dict | None] | None:
+    """(checkpoint_version, live add actions, protocol action or None)
+    from _last_checkpoint, or None when the table has no checkpoint yet."""
     lc_path = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc_path):
         return None
@@ -73,13 +107,17 @@ def _read_checkpoint(log_dir: str) -> tuple[int, list[dict]] | None:
         )
     tbl = pq.read_table(cp_path)
     adds = []
+    proto = None
     for row in tbl.to_pylist():
         add = row.get("add")
         if add and add.get("path"):
             adds.append({k: v for k, v in add.items() if v is not None})
         # checkpoints may carry remove tombstones for vacuum bookkeeping;
         # they are NOT part of the live file set and are skipped here
-    return version, adds
+        p = row.get("protocol")
+        if p and p.get("minReaderVersion") is not None:
+            proto = {k: v for k, v in p.items() if v is not None}
+    return version, adds, proto
 
 
 def _replay(table_dir: str, version: int | None = None,
@@ -127,21 +165,27 @@ def _replay(table_dir: str, version: int | None = None,
     if cp is not None and (version is None or cp[0] <= version):
         start = cp[0] + 1
         for add in cp[1]:
-            live[add["path"]] = add
-        # metaData must still come from the log when the checkpoint rows
-        # didn't carry it — fall through to JSON replay below, plus a
-        # backward scan for the latest metaData at or before the checkpoint
+            live[add["path"]] = _check_add(add)
+        # metaData and protocol must still come from the log when the
+        # checkpoint rows didn't carry them — fall through to JSON replay
+        # below, plus a backward scan for the latest of each at or before
+        # the checkpoint (the protocol recorded there still gates THIS
+        # read: a DV-era table with a checkpoint must refuse, not read)
+        proto = cp[2]
         for v, path in reversed(commits):
             if v > cp[0]:
                 continue
+            if meta is not None and proto is not None:
+                break
             with open(path) as f:
                 for line in f:
                     act = json.loads(line)
-                    if "metaData" in act:
+                    if meta is None and "metaData" in act:
                         meta = act["metaData"]
-                        break
-            if meta is not None:
-                break
+                    elif proto is None and "protocol" in act:
+                        proto = act["protocol"]
+        if proto is not None:
+            _check_protocol(proto)
 
     for v, path in commits:
         if v < start:
@@ -155,28 +199,11 @@ def _replay(table_dir: str, version: int | None = None,
                     continue
                 act = json.loads(line)
                 if "protocol" in act:
-                    p = act["protocol"]
-                    rv = int(p.get("minReaderVersion", 1))
-                    if rv == 3:
-                        # table-features era: readable iff every required
-                        # reader feature is one we implement
-                        feats = set(p.get("readerFeatures") or [])
-                        unsupported = feats - {"columnMapping"}
-                        if unsupported:
-                            raise NotImplementedError(
-                                "Delta reader features not supported: "
-                                f"{sorted(unsupported)}"
-                            )
-                    elif rv > 3:
-                        raise NotImplementedError(
-                            f"Delta minReaderVersion={rv} not supported"
-                        )
-                    # rv == 2 gates exactly one feature: column mapping —
-                    # the metaData configuration decides the mode below
+                    _check_protocol(act["protocol"])
                 elif "metaData" in act:
                     meta = act["metaData"]
                 elif "add" in act:
-                    a = act["add"]
+                    a = _check_add(act["add"])
                     live[a["path"]] = a
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)

@@ -150,3 +150,29 @@ def test_compact_preserves_bloom_filters(spark, encoded_docs, tmp_path):
         predicates=[("url", "==", "doc://d/123")],
     ).collect()
     assert [(r["doc_id"], r["url"]) for r in got] == [(123, "doc://d/123")]
+
+
+def test_probe_with_coerced_int_literal_not_falsely_absent(spark, encoded_docs):
+    """ADVICE r6: int blooms hash the decimal text of the VALUES, so a
+    float literal 123.0 hashed b'123.0' vs the build side's b'123' — a
+    false 'definitely absent' that silently pruned matching chunks. The
+    probe literal must normalize to the column's canonical int form."""
+    from cuda_float_compress_spark.operators.decode import (
+        committed_blocks,
+        qualifying_chunks,
+    )
+
+    blocks = committed_blocks(spark, encoded_docs)
+    as_int = qualifying_chunks(blocks, [("doc_id", "==", 123)]).collect()
+    as_float = qualifying_chunks(blocks, [("doc_id", "==", 123.0)]).collect()
+    key = lambda r: (r["part_id"], r["chunk_id"])  # noqa: E731
+    assert sorted(map(key, as_float)) == sorted(map(key, as_int))
+    assert len(as_int) >= 1
+    # IN-list path normalizes each member the same way
+    in_float = qualifying_chunks(
+        blocks, [("doc_id", "in", [123.0, 250.0])]
+    ).collect()
+    in_int = qualifying_chunks(
+        blocks, [("doc_id", "in", [123, 250])]
+    ).collect()
+    assert sorted(map(key, in_float)) == sorted(map(key, in_int))

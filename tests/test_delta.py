@@ -305,3 +305,71 @@ def test_delta_partitioned_union_fallback(spark, tmp_path):
     pr = read_delta_dir(spark, tdir, predicates=[("p", "=", "y")])
     assert [r["id"] for r in pr.collect()] == [3]
     assert len(pr.inputFiles()) == 1
+
+
+def test_delta_checkpointed_protocol_still_gates(spark, tmp_path):
+    """A protocol upgrade recorded AT/BEFORE the checkpoint must still be
+    applied when replay starts from the checkpoint (ADVICE r6: a DV-era
+    table with a checkpoint was read silently instead of refusing)."""
+    tdir, info = _fixture(tmp_path, checkpoint_at=1)
+    log = os.path.join(tdir, "_delta_log")
+    p1 = os.path.join(log, f"{1:020d}.json")
+    with open(p1) as f:
+        lines = f.read().splitlines()
+    proto = json.dumps({"protocol": {
+        "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}})
+    with open(p1, "w") as f:
+        f.write(proto + "\n")
+        f.write("\n".join(lines) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_dir(spark, tdir)
+    # a version BEFORE the upgrade still reads (pure JSON replay path)
+    v0 = read_delta_dir(spark, tdir, version=0)
+    assert sorted(r["id"] for r in v0.collect()) == [1, 2]
+
+
+def test_delta_checkpoint_row_protocol_still_gates(spark, tmp_path):
+    """Same gate when the protocol action lives in the checkpoint parquet
+    itself (how real writers checkpoint it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir, info = _fixture(tmp_path, checkpoint_at=1)
+    cp = os.path.join(tdir, "_delta_log", f"{1:020d}.checkpoint.parquet")
+    old = pq.read_table(cp)
+    rows = [{"add": a, "protocol": None} for a in old.to_pylist()
+            for a in [a["add"]]]
+    rows.append({"add": None, "protocol": {
+        "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}})
+    schema = pa.schema([
+        old.schema.field("add"),
+        pa.field("protocol", pa.struct([
+            ("minReaderVersion", pa.int64()),
+            ("readerFeatures", pa.list_(pa.string())),
+        ])),
+    ])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp)
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_dir(spark, tdir)
+
+
+def test_delta_deletion_vector_add_refused(spark, tmp_path):
+    """An add entry carrying a live deletion vector must refuse — reading
+    the file without applying the DV would resurrect its deleted rows."""
+    tdir, info = _fixture(tmp_path)
+    log = os.path.join(tdir, "_delta_log")
+    v = info["versions"][-1] + 1
+    rel = info["paths"][0][0]  # existing data file, now claimed DV-masked
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": {
+            "path": rel, "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True,
+            "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                               "sizeInBytes": 40, "cardinality": 1},
+        }}) + "\n")
+        f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        read_delta_dir(spark, tdir)
+    # time travel to before the DV commit still works
+    ok = read_delta_dir(spark, tdir, version=1)
+    assert ok.count() == 5

@@ -167,3 +167,33 @@ def test_merge_stream_multi_epoch(spark, tmp_path):
     assert got[1000] == ("v1", 0, 1)
     assert got[1001] == ("new", 2, 2)
     assert got[7] == ("en", 7, 0)  # untouched base row
+
+
+def test_merge_tombstones_stamped_after_append_commit(spark, docs_table):
+    """ADVICE r6: committed_at stamped at staging-write time opened a
+    time-travel window [stamp, encode finished_at) where the tombstones
+    applied but the replacement run was not yet trusted — updated keys
+    vanished from those snapshots. The stamp must now be >= the merge
+    run's lineage finished_at, and any as_of cut before the run's commit
+    must still see every pre-merge row."""
+    res = merge_rows(spark, docs_table, _updates_df(spark, [5, 17], []),
+                     key_col="url", sort_keys=["doc_id"])
+    lin = spark.read.parquet(f"{docs_table}/lineage")
+    fin = lin.filter(
+        (F.col("run_id") == res["run_id"]) & (F.col("status") == "done")
+    ).agg(F.max("finished_at")).collect()[0][0]
+    tomb = spark.read.parquet(
+        os.path.join(docs_table, "deletes", f"run-{res['run_id']}")
+    )
+    t_min = tomb.agg(F.min("committed_at")).collect()[0][0]
+    assert t_min >= fin
+    # snapshot cut just before the run committed (inside the formerly
+    # buggy window): the pre-merge table is intact, updated keys included
+    pre = decode_table_direct(spark, docs_table, as_of=fin - 1e-4)
+    got = {r["doc_id"]: r["lang"]
+           for r in pre.select("doc_id", "lang").collect()}
+    assert len(got) == 300
+    assert got[5] == ["en", "de", "fr"][5 % 3]
+    assert got[17] == ["en", "de", "fr"][17 % 3]
+    # no staging leftovers after a successful merge
+    assert glob.glob(os.path.join(docs_table, "deletes", "_staging-*")) == []

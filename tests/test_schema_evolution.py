@@ -91,3 +91,38 @@ def test_conflicting_retype_refused(spark, tmp_path):
                  sort_keys=["doc_id"], part_offset=10)
     with pytest.raises(ValueError, match="conflicting types"):
         decode_table_direct(spark, out).collect()
+
+
+def test_compact_handles_evolution(spark, evolved_table, tmp_path):
+    """ADVICE r6: compact() indexed per_chunk[cid][col] for every union-
+    schema column and crashed with KeyError on chunks predating a later-
+    added column. It must null-fill instead, mirroring the decode paths."""
+    from cuda_float_compress_spark.operators.maintain import compact
+
+    dst = str(tmp_path / "cmp")
+    compact(spark, evolved_table, dst, chunk_rows=64)
+    want = sorted(
+        (r["doc_id"], r["url"], r["lang"], r["score"])
+        for r in decode_table_direct(spark, evolved_table).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["url"], r["lang"], r["score"])
+        for r in decode_table_direct(spark, dst).collect()
+    )
+    assert got == want
+    assert len(got) == 150
+
+
+def test_metadata_agg_evolution_falls_back(spark, evolved_table):
+    """ADVICE r6: chunks written before a column existed contribute all-
+    null rows in the decode paths but carry no stats row — the metadata
+    path undercounted n_rows/n_nulls. It must match the decode ground
+    truth (150 rows, 100 nulls for the late 'score' column)."""
+    from cuda_float_compress_spark.operators.metadata_agg import (
+        agg_int_column,
+    )
+
+    row = agg_int_column(spark, evolved_table, "score").collect()[0]
+    assert row["n_rows"] == 150
+    assert row["n_nulls"] == 100
+    assert row["sum"] == sum(i * 2 for i in range(50))
